@@ -1,0 +1,36 @@
+"""Normalization stage: extracted pages -> RECORDS (the `processed_donors`
+analogue, /root/reference/data_load/init_postgres_db.py:477-489).
+
+Stateless vectorized ``map_batches`` over Arrow batches; drops every wide
+column except the compact normalized fields that downstream blocking/scoring
+need (project early)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..functions import textnorm
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("extracted_text")
+    fields = textnorm.parse_profile_fields(text)
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "record_id": batch.column("url"),
+    }
+    cols.update(fields)
+    cols["text_norm"] = textnorm.lower_trim_null(
+        textnorm.strip_punctuation(text)
+    )
+    return pa.table(cols)
+
+
+def normalize_records(
+    pages_extracted: "ray.data.Dataset", batch_size: int = 8192
+) -> "ray.data.Dataset":
+    """(url, extracted_text, ...) -> RECORDS(record_id, name, street, city,
+    state, zip, text_norm)."""
+    return pages_extracted.map_batches(
+        _normalize_batch, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -1,0 +1,31 @@
+"""Session-scoped Ray fixture — one ray.init per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def fixture_tables():
+    """Deterministic synthetic pages/labels/entities (seed 42, 300 entities)."""
+    from ny_campaign_finance_dedupe_ray import synth
+
+    return synth.generate(n_entities=300, seed=42)
