@@ -1,0 +1,310 @@
+"""Blocking predicate library — fresh implementations matching the behavior
+of the reference's stateless predicates
+(/root/reference/dedupe_extension/dedupe/dedupe/predicates.py:345-548 and
+cpredicates.pyx:3-43), verified against the expected outputs in the
+reference's own tests (tests/test_dedupe.py:231-281, tests/test_predicates.py).
+
+Each scalar predicate maps one field value -> an iterable of block-key
+strings.  In the engine they run inside a blocking ``map_batches`` flat-map
+(stages/blocking.py); the per-row loop is acceptable because fields are short
+normalized strings and the web-scale hot path uses the vectorized MinHash/LSH
+keys instead (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import string
+from typing import Any, Callable, Iterable, Sequence
+
+_WORDS = re.compile(r"[\w']+").findall
+_INTEGERS = re.compile(r"\d+").findall
+_START_WORD = re.compile(r"^([\w']+)").match
+_START_INTEGER = re.compile(r"^(\d+)").match
+_ALPHA_NUMERIC = re.compile(r"(?=\w*\d)[a-zA-Z\d]+").findall
+_PUNCTABLE = str.maketrans("", "", string.punctuation)
+
+
+def strip_punc(s: str) -> str:
+    return s.translate(_PUNCTABLE)
+
+
+def ngrams(field: str, n: int) -> list[str]:
+    """All contiguous character n-grams, in order, duplicates kept."""
+    return [field[i: i + n] for i in range(len(field) - n + 1)]
+
+
+def initials(field: str, n: int) -> tuple[str]:
+    """First n chars (shorter field returned whole)."""
+    return (field[:n],)
+
+
+# --- whole / token predicates -------------------------------------------------
+
+def whole_field(field: Any) -> tuple[str]:
+    return (str(field),)
+
+
+def token_field(field: str) -> set[str]:
+    return set(_WORDS(field))
+
+
+def first_token(field: str) -> Sequence[str]:
+    m = _START_WORD(field)
+    return m.groups() if m else ()
+
+
+def common_integer(field: str) -> set[str]:
+    return {str(int(i)) for i in _INTEGERS(field)}
+
+
+def alpha_numeric(field: str) -> set[str]:
+    return set(_ALPHA_NUMERIC(field))
+
+
+def near_integers(field: str) -> set[str]:
+    out: set[str] = set()
+    for tok in _INTEGERS(field):
+        n = int(tok)
+        out.update((str(n - 1), str(n), str(n + 1)))
+    return out
+
+
+def hundred_integer(field: str) -> set[str]:
+    return {str(int(i))[:-2] + "00" for i in _INTEGERS(field)}
+
+
+def hundred_integer_odd(field: str) -> set[str]:
+    return {str(int(i))[:-2] + "0" + str(int(i) % 2) for i in _INTEGERS(field)}
+
+
+def first_integer(field: str) -> Sequence[str]:
+    m = _START_INTEGER(field)
+    return m.groups() if m else ()
+
+
+def _ngrams_tokens(seq: Sequence[Any], n: int) -> set[str]:
+    return {
+        " ".join(str(t) for t in seq[i: i + n])
+        for i in range(len(seq) - n + 1)
+    }
+
+
+def common_two_tokens(field: str) -> set[str]:
+    return _ngrams_tokens(field.split(), 2)
+
+
+def common_three_tokens(field: str) -> set[str]:
+    return _ngrams_tokens(field.split(), 3)
+
+
+def fingerprint(field: str) -> tuple[str]:
+    return ("".join(sorted(field.split())).strip(),)
+
+
+def one_gram_fingerprint(field: str) -> tuple[str]:
+    return ("".join(sorted(set(field.replace(" ", "")))).strip(),)
+
+
+def two_gram_fingerprint(field: str) -> tuple[str, ...]:
+    if len(field) > 1:
+        squashed = field.replace(" ", "")
+        return ("".join(sorted(g.strip() for g in set(ngrams(squashed, 2)))),)
+    return ()
+
+
+def common_four_gram(field: str) -> set[str]:
+    return set(ngrams(field.replace(" ", ""), 4))
+
+
+def common_six_gram(field: str) -> set[str]:
+    return set(ngrams(field.replace(" ", ""), 6))
+
+
+def same_three_char_start(field: str) -> tuple[str]:
+    return initials(field.replace(" ", ""), 3)
+
+
+def same_five_char_start(field: str) -> tuple[str]:
+    return initials(field.replace(" ", ""), 5)
+
+
+def same_seven_char_start(field: str) -> tuple[str]:
+    return initials(field.replace(" ", ""), 7)
+
+
+def suffix_array(field: str) -> Iterable[str]:
+    """All suffixes of length >= 5 (including the field itself)."""
+    n = len(field) - 4
+    for i in range(max(0, n)):
+        yield field[i:]
+
+
+def sorted_acronym(field: str) -> tuple[str]:
+    return ("".join(sorted(tok[0] for tok in field.split())),)
+
+
+def double_metaphone(field: str) -> set[str]:
+    from .phonetic import doublemetaphone
+
+    return {m for m in doublemetaphone(field) if m}
+
+
+def metaphone_token(field: str) -> set[str]:
+    from .phonetic import doublemetaphone
+
+    out: set[str] = set()
+    for token in set(field.split()):
+        out.update(m for m in doublemetaphone(token) if m)
+    return out
+
+
+# --- set predicates -----------------------------------------------------------
+
+def whole_set(field_set) -> tuple[str]:
+    return (str(field_set),)
+
+
+def common_set_element(field_set) -> tuple[str, ...]:
+    return tuple(str(e) for e in field_set)
+
+
+def common_two_elements(field_set) -> set[str]:
+    return _ngrams_tokens(sorted(field_set), 2)
+
+
+def common_three_elements(field_set) -> set[str]:
+    return _ngrams_tokens(sorted(field_set), 3)
+
+
+def last_set_element(field_set) -> tuple[str]:
+    return (str(max(field_set)),)
+
+
+def first_set_element(field_set) -> tuple[str]:
+    return (str(min(field_set)),)
+
+
+def magnitude_of_cardinality(field_set) -> Sequence[str]:
+    return order_of_magnitude(len(field_set))
+
+
+# --- numeric / geo ------------------------------------------------------------
+
+def lat_long_grid(field, digits: int = 1) -> Sequence[str]:
+    if any(field):
+        return (str([round(dim, digits) for dim in field]),)
+    return ()
+
+
+def order_of_magnitude(field) -> Sequence[str]:
+    if field > 0:
+        return (str(int(round(math.log10(field)))),)
+    return ()
+
+
+def round_to_1(field) -> tuple[str]:
+    a = abs(field)
+    order = int(math.floor(math.log10(a)))
+    rounded = round(a, -order)
+    return (str(int(math.copysign(rounded, field))),)
+
+
+def exists(field) -> tuple[str]:
+    return ("1",) if field else ("0",)
+
+
+# --- wrappers -----------------------------------------------------------------
+
+class FieldPredicate:
+    """(func, field) applied to a record dict; null/empty -> no keys
+    (SimplePredicate semantics, predicates.py:56-73)."""
+
+    preprocess = False
+
+    def __init__(self, func: Callable, field: str, name: str | None = None):
+        self.func = func
+        self.field = field
+        self.name = name or f"({func.__name__}, {field})"
+
+    def __repr__(self) -> str:
+        return self.name
+
+    def keys(self, value) -> Iterable[str]:
+        if not value:
+            return ()
+        if self.preprocess:
+            value = " ".join(strip_punc(value).split())
+        return self.func(value)
+
+    def __call__(self, record: dict) -> Iterable[str]:
+        return self.keys(record.get(self.field))
+
+
+class StringPredicate(FieldPredicate):
+    """Punctuation-stripped, whitespace-collapsed variant
+    (predicates.py:76-91)."""
+
+    preprocess = True
+
+
+class CompoundPredicate:
+    """Tuple of predicates; emits the cartesian product of member keys joined
+    with ':' and member ':' escaped as '\\:' (predicates.py:325-342)."""
+
+    def __init__(self, *predicates: FieldPredicate):
+        self.predicates = predicates
+        self.name = "(%s)" % ", ".join(p.name for p in predicates)
+
+    def __repr__(self) -> str:
+        return self.name
+
+    def __call__(self, record: dict) -> list[str]:
+        import itertools
+
+        member_keys = [list(p(record)) for p in self.predicates]
+        return [
+            ":".join(k.replace(":", "\\:") for k in combo)
+            for combo in itertools.product(*member_keys)
+        ]
+
+
+# Registry of scalar string predicates by reference-style name, for model
+# artifacts that name their predicate set (api.py:1084-1086 analogue).
+REGISTRY: dict[str, Callable] = {
+    "wholeFieldPredicate": whole_field,
+    "tokenFieldPredicate": token_field,
+    "firstTokenPredicate": first_token,
+    "commonIntegerPredicate": common_integer,
+    "alphaNumericPredicate": alpha_numeric,
+    "nearIntegersPredicate": near_integers,
+    "hundredIntegerPredicate": hundred_integer,
+    "hundredIntegersOddPredicate": hundred_integer_odd,
+    "firstIntegerPredicate": first_integer,
+    "commonTwoTokens": common_two_tokens,
+    "commonThreeTokens": common_three_tokens,
+    "fingerprint": fingerprint,
+    "oneGramFingerprint": one_gram_fingerprint,
+    "twoGramFingerprint": two_gram_fingerprint,
+    "commonFourGram": common_four_gram,
+    "commonSixGram": common_six_gram,
+    "sameThreeCharStartPredicate": same_three_char_start,
+    "sameFiveCharStartPredicate": same_five_char_start,
+    "sameSevenCharStartPredicate": same_seven_char_start,
+    "suffixArrayPredicate": lambda f: tuple(suffix_array(f)),
+    "sortedAcronym": sorted_acronym,
+    "doubleMetaphone": double_metaphone,
+    "metaphoneToken": metaphone_token,
+    "wholeSetPredicate": whole_set,
+    "commonSetElementPredicate": common_set_element,
+    "commonTwoElementsPredicate": common_two_elements,
+    "commonThreeElementsPredicate": common_three_elements,
+    "lastSetElementPredicate": last_set_element,
+    "firstSetElementPredicate": first_set_element,
+    "magnitudeOfCardinality": magnitude_of_cardinality,
+    "latLongGridPredicate": lat_long_grid,
+    "orderOfMagnitude": order_of_magnitude,
+    "roundTo1": round_to_1,
+    "existsPredicate": exists,
+}

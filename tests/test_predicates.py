@@ -1,0 +1,116 @@
+"""Predicate correctness against the reference's documented expected outputs
+(/root/reference/dedupe_extension/dedupe/tests/test_dedupe.py:231-281 and
+tests/test_predicates.py:6-60)."""
+
+from __future__ import annotations
+
+from ny_campaign_finance_dedupe_ray.functions import predicates as P
+
+
+FIELD = "123 16th st"
+
+
+def test_reference_expected_keys():
+    assert P.sorted_acronym(FIELD) == ("11s",)
+    assert P.whole_field(FIELD) == ("123 16th st",)
+    assert P.first_token(FIELD) == ("123",)
+    assert P.first_token("") == ()
+    assert P.first_token("123/") == ("123",)
+    assert P.token_field(" ") == set()
+    assert P.token_field(FIELD) == {"123", "16th", "st"}
+    assert P.common_integer(FIELD) == {"123", "16"}
+    assert P.common_integer("foo") == set()
+    assert P.first_integer("foo") == ()
+    assert P.first_integer("1foo") == ("1",)
+    assert P.first_integer("f1oo") == ()
+    assert P.same_three_char_start(FIELD) == ("123",)
+    assert P.same_three_char_start("12") == ("12",)
+    assert P.common_four_gram("12") == set()
+    assert P.same_five_char_start(FIELD) == ("12316",)
+    assert P.same_seven_char_start(FIELD) == ("12316th",)
+    assert P.near_integers(FIELD) == {"15", "17", "16", "122", "123", "124"}
+    assert P.common_four_gram(FIELD) == {
+        "1231", "2316", "316t", "16th", "6ths", "thst"
+    }
+    assert P.common_six_gram(FIELD) == {"12316t", "2316th", "316ths", "16thst"}
+    assert P.initials(FIELD, 12) == ("123 16th st",)
+    assert P.initials(FIELD, 7) == ("123 16t",)
+    assert P.ngrams(FIELD, 3) == [
+        "123", "23 ", "3 1", " 16", "16t", "6th", "th ", "h s", " st"
+    ]
+    assert P.common_two_elements((1, 2, 3)) == {"1 2", "2 3"}
+    assert P.common_two_elements((1,)) == set()
+    assert P.common_three_elements((1, 2, 3)) == {"1 2 3"}
+    assert P.common_three_elements((1,)) == set()
+    assert P.fingerprint("time sandwich") == ("sandwichtime",)
+    assert P.one_gram_fingerprint("sandwich time") == ("acdehimnstw",)
+    assert P.two_gram_fingerprint("sandwich time") == (
+        "anchdwhticimmendsatiwi",
+    )
+    assert P.two_gram_fingerprint("1") == ()
+    assert P.common_two_tokens("foo bar") == {"foo bar"}
+    assert P.common_two_tokens("foo") == set()
+
+
+def test_numeric_and_set_predicates():
+    assert P.hundred_integer(FIELD) == {"100", "00"}
+    assert P.order_of_magnitude(250) == ("2",)
+    assert P.order_of_magnitude(0) == ()
+    assert P.round_to_1(1234) == ("1000",)
+    assert P.round_to_1(-567) == ("-600",)
+    s = {"red", "blue", "green"}
+    assert P.whole_set(s) == (str(s),)
+    assert set(P.common_set_element(s)) == {"red", "blue", "green"}
+    assert P.last_set_element(s) == ("red",)
+    assert P.first_set_element(s) == ("blue",)
+    assert P.magnitude_of_cardinality(s) == ("0",)
+    assert P.magnitude_of_cardinality(()) == ()
+    assert P.lat_long_grid((42.33, -5.44)) == ("[42.3, -5.4]",)
+    assert P.lat_long_grid((0, 0)) == ()
+    assert P.suffix_array("abcde") is not None
+    assert list(P.suffix_array("abcdef")) == ["abcdef", "bcdef"]
+    assert list(P.suffix_array("abcd")) == []
+
+
+def test_string_predicate_punctuation_equivalence():
+    # StringPredicate strips punctuation first (reference test_predicates.py:7-12)
+    s1 = P.StringPredicate(P.same_seven_char_start, "foo")
+    assert s1({"foo": "fo,18v*1vaad80"}) == s1({"foo": "fo18v1vaad80"})
+    # null / empty -> no keys
+    assert s1({"foo": None}) == ()
+    assert s1({"foo": ""}) == ()
+
+
+def test_metaphone_token():
+    # reference tests/test_predicates.py:19-22
+    assert P.metaphone_token("9301 S. State St. ".strip()) == {"STT", "S", "ST"}
+
+
+def test_double_metaphone_basics():
+    from ny_campaign_finance_dedupe_ray.functions.phonetic import doublemetaphone
+
+    assert doublemetaphone("smith")[0] == "SM0"
+    assert doublemetaphone("schmidt")[0] == "XMT"
+    assert doublemetaphone("")[0] == ""
+    p, s = doublemetaphone("jones")
+    assert p.startswith("JNS") or p.startswith("ANS")
+
+
+def test_compound_predicate_product_and_escaping():
+    p1 = P.StringPredicate(P.first_token, "name")
+    p2 = P.StringPredicate(P.same_three_char_start, "city")
+    cp = P.CompoundPredicate(p1, p2)
+    rec = {"name": "mary smith", "city": "albany"}
+    assert cp(rec) == ["mary:alb"]
+    # ':' in member keys must be escaped
+    pw = P.FieldPredicate(P.whole_field, "x")
+    cp2 = P.CompoundPredicate(pw, pw)
+    assert cp2({"x": "a:b"}) == ["a\\:b:a\\:b"]
+    # one empty member key set -> no compound keys
+    assert cp({"name": "", "city": "albany"}) == []
+
+
+def test_exists_predicate():
+    assert P.exists("x") == ("1",)
+    assert P.exists(None) == ("0",)
+    assert P.exists("") == ("0",)
