@@ -1,0 +1,76 @@
+"""Flagship pipeline: pages -> extract -> normalize -> block -> pairs ->
+score -> cluster -> entity map.
+
+Mirrors the reference production flow run_dedupe
+(/root/reference/dedupe_extension/campaign_finance_dedupe.py:119-342) and the
+library partition() chain (dedupe/api.py:129-184), with each stage exposed as
+a composable Dataset -> Dataset function (the reference's public
+block/pairs/score/cluster stage granularity, api.py:92-322).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..stages.blocking import BlockingConfig, block_records, default_config, drop_hot_keys, hot_keys
+from ..stages.clustering import add_singletons, connected_components, hierarchical_clusters
+from ..stages.extract import extract_text
+from ..stages.normalize import normalize_records
+from ..stages.pairs import candidate_pairs
+from ..stages.scoring import score_pairs
+from ..state.model import Model
+
+
+def pages_to_records(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    return normalize_records(extract_text(pages))
+
+
+def records_to_scores(
+    records: "ray.data.Dataset",
+    cfg: BlockingConfig | None = None,
+    model: Model | None = None,
+    scorer_concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    cfg = cfg or default_config()
+    # The hot-key frequency pass must consume the whole blocks table before
+    # pair generation can filter on it — an inherent barrier.  Materialize
+    # blocks once (keys + compact payload, far smaller than the input pages)
+    # instead of re-executing the blocking lineage for the second consumer.
+    blocks = block_records(records, cfg).materialize()
+    hot = hot_keys(blocks, cfg.max_block_size)
+    blocks = drop_hot_keys(blocks, hot)
+    pairs = candidate_pairs(blocks)
+    return score_pairs(pairs, model=model, concurrency=scorer_concurrency)
+
+
+def scores_to_clusters(
+    scores: "ray.data.Dataset",
+    records: "ray.data.Dataset",
+    threshold: float = 0.5,
+    cc_mode: str = "driver",
+    max_components: int = 30000,
+) -> "ray.data.Dataset":
+    comps = connected_components(scores, max_components=max_components, mode=cc_mode)
+    clusters = hierarchical_clusters(comps, threshold=threshold)
+    return add_singletons(records.select_columns(["record_id"]), clusters)
+
+
+def dedupe_pages(
+    pages: "ray.data.Dataset",
+    cfg: BlockingConfig | None = None,
+    model: Model | None = None,
+    threshold: float = 0.5,
+    cc_mode: str = "driver",
+    scorer_concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """pages -> CLUSTERS(record_id, cluster_id, cluster_score).
+
+    threshold=0.5 is the production default
+    (campaign_finance_dedupe.py:320)."""
+    records = pages_to_records(pages)
+    scores = records_to_scores(
+        records, cfg=cfg, model=model, scorer_concurrency=scorer_concurrency
+    )
+    return scores_to_clusters(
+        scores, records, threshold=threshold, cc_mode=cc_mode
+    )

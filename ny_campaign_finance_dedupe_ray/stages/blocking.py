@@ -1,0 +1,201 @@
+"""Blocking stage: RECORDS -> (block_key, record_id, payload...) flat-map.
+
+The map side of the block-key shuffle (reference blocking driver:
+/root/reference/dedupe_extension/dedupe/dedupe/blocking.py:48-104 producing
+the ``blocking_map`` table, campaign_finance_dedupe.py:241-268).
+
+Differences by design (SURVEY.md §2.3):
+- stateful canopy / tf-idf index predicates are replaced by *stateless*
+  MinHash/LSH band keys over text shingles plus normalized-url host keys —
+  same recall contract, no corpus-wide index, parallel-reproducible;
+- hot keys are bounded by a frequency cap — the stop-word analogue of the
+  reference's df > max(1000, 0.05*N) cutoff (canopy_index.py:20-31) — via a
+  partial-count pre-pass + broadcast drop-set (no full-row shuffle).
+
+Payload columns ride along with each key row so candidate-pair generation
+needs NO join back to the record table (at 10^12 rows a pairs<->records join
+would be a second full shuffle; the payload is a few short normalized
+strings).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import hashing as H
+from ..functions import predicates as P
+
+
+@dataclass
+class BlockingConfig:
+    """Which keys to emit per record."""
+
+    # wrapper predicates applied per row (FieldPredicate/CompoundPredicate)
+    predicates: list = field(default_factory=list)
+    # vectorized MinHash/LSH over this column (None disables)
+    minhash_column: str | None = "text_norm"
+    minhash_k: int = 5
+    minhash_perms: int = 128
+    minhash_bands: int = 16
+    # emit a host block key from record_id when it is a url
+    host_key: bool = False
+    # payload columns carried through to pair generation
+    payload_columns: tuple[str, ...] = ("name", "street", "city", "state", "zip", "text_norm")
+    # stop-word analogue: drop keys whose global frequency exceeds this
+    max_block_size: int = 200
+
+
+def default_config() -> BlockingConfig:
+    """Flagship predicate set: cheap high-recall name/street keys + LSH.
+
+    Mirrors the *shape* of a learned reference predicate set (3-5 compound
+    predicates, matching_evaluation/match_runs.csv) without the training
+    loop — the engine ships fixed blocking keys per SURVEY.md §2.8."""
+    return BlockingConfig(
+        predicates=[
+            P.CompoundPredicate(
+                P.StringPredicate(P.first_token, "name"),
+                P.StringPredicate(P.first_integer, "street"),
+            ),
+            P.CompoundPredicate(
+                P.StringPredicate(P.sorted_acronym, "name"),
+                P.StringPredicate(P.same_three_char_start, "city"),
+            ),
+            P.StringPredicate(P.same_five_char_start, "name"),
+            P.FieldPredicate(P.whole_field, "zip"),
+        ],
+    )
+
+
+def _block_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
+    rids = batch.column("record_id").to_pylist()
+    n = len(rids)
+    out_keys: list[str] = []
+    out_rows: list[int] = []
+
+    # 1) per-row predicates (short normalized fields; python loop acceptable)
+    if cfg.predicates:
+        fields_needed = sorted(
+            {p.field for p in cfg.predicates if hasattr(p, "field")}
+            | {
+                m.field
+                for p in cfg.predicates
+                if isinstance(p, P.CompoundPredicate)
+                for m in p.predicates
+            }
+        )
+        cols = {f: batch.column(f).to_pylist() for f in fields_needed if f in batch.column_names}
+        for i in range(n):
+            rec = {f: v[i] for f, v in cols.items()}
+            for pi, pred in enumerate(cfg.predicates):
+                for k in pred(rec):
+                    out_keys.append("%s:%d" % (k, pi))
+                    out_rows.append(i)
+
+    # 2) vectorized MinHash band keys
+    if cfg.minhash_column and cfg.minhash_column in batch.column_names:
+        col = batch.column(cfg.minhash_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h, splits = H.shingle_hashes(col, k=cfg.minhash_k)
+        sigs = H.minhash(h, splits, n_perm=cfg.minhash_perms)
+        rows, keys = H.lsh_band_keys(sigs, n_bands=cfg.minhash_bands)
+        out_rows.extend(int(r) for r in rows)
+        out_keys.extend(str(k) for k in keys)
+
+    # 3) host key from the url-shaped record_id
+    if cfg.host_key:
+        for i, rid in enumerate(rids):
+            try:
+                host = urlparse(rid).netloc
+            except ValueError:
+                host = ""
+            if host:
+                out_rows.append(i)
+                out_keys.append("host:%s" % host)
+
+    idx = np.asarray(out_rows, dtype=np.int64)
+    cols_out: dict[str, pa.Array] = {
+        "block_key": pa.array(out_keys, pa.string()),
+        "record_id": pa.array([rids[i] for i in out_rows], pa.string()),
+    }
+    payload = [c for c in cfg.payload_columns if c in batch.column_names]
+    taken = batch.select(payload).take(pa.array(idx)) if payload else None
+    if taken is not None:
+        for name_ in payload:
+            cols_out[name_] = taken.column(name_)
+    return pa.table(cols_out)
+
+
+def block_records(
+    records: "ray.data.Dataset",
+    cfg: BlockingConfig | None = None,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """RECORDS -> BLOCKS(+payload) flat-map (one row -> N key rows)."""
+    cfg = cfg or default_config()
+    return records.map_batches(
+        _block_batch,
+        fn_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def hot_keys(
+    blocks: "ray.data.Dataset", max_block_size: int
+) -> set[str]:
+    """Keys whose global frequency exceeds ``max_block_size``.
+
+    Pre-aggregates counts per batch (one row per distinct key per batch)
+    before the groupby, so the shuffle carries key partials, not key rows —
+    then filters to the (small) over-cap set on the driver.  This is the
+    frequency-capped-blocking-key pass of SURVEY.md §4."""
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: F401
+
+        vc = t.column("block_key").value_counts()
+        return pa.table(
+            {
+                "block_key": vc.field("values"),
+                "partial": vc.field("counts"),
+            }
+        )
+
+    partials = blocks.select_columns(["block_key"]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby("block_key").aggregate(Sum("partial", alias_name="n"))
+    over = counts.filter(
+        expr=f"n > {int(max_block_size)}"
+    )
+    df = over.to_pandas()
+    if "block_key" not in df.columns:  # empty result loses schema
+        return set()
+    return set(df["block_key"].tolist())
+
+
+def drop_hot_keys(
+    blocks: "ray.data.Dataset", hot: set[str]
+) -> "ray.data.Dataset":
+    """Filter out over-cap keys via a broadcast set (ray.put once, read per
+    task — never re-shipped per batch)."""
+    if not hot:
+        return blocks
+    hot_ref = ray.put(hot)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = pa.array([k not in hs for k in t.column("block_key").to_pylist()])
+        return t.filter(mask)
+
+    return blocks.map_batches(_filter, batch_format="pyarrow")

@@ -1,0 +1,490 @@
+"""Transitive clustering: connected components + per-component hierarchical
+clustering + confidences + singletons.
+
+Reference semantics (/root/reference/dedupe_extension/dedupe/dedupe/
+clustering.py):
+- union-find over the scored edge list (:101-152);
+- components with more than ``max_components`` nodes are re-filtered at a
+  raised threshold sigmoid(logit(min_score)+1) and recursed (:74-98) —
+  the skew/hot-key bound, kept verbatim;
+- per component: condensed distances 1-score (unscored pairs = 1.0,
+  :155-193), centroid linkage + flat cut at 1-threshold (:196-238);
+- per-record confidence 1 - sqrt(sum (1-phi)^2 / (N-1)) (:241-262);
+- singleton records appended with confidence 1.0 (api.py:186-195);
+- canonical cluster_id := min member record id
+  (campaign_finance_dedupe.py:105-110 uses first member; min is the
+  deterministic, order-free equivalent).
+
+Ray mapping: components via driver union-find for small edge sets or
+distributed iterative min-label propagation (hash-partitioned groupby per
+round, no joins) for large ones; per-component work is a
+``groupby(component).map_groups`` — components are colocated by the shuffle
+and bounded by the refilter rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.linkage import centroid_linkage, fcluster_distance
+from ..functions.hashing import hash64_str
+
+
+# --------------------------------------------------------------------------
+# union-find (driver scale)
+# --------------------------------------------------------------------------
+
+class UnionFind:
+    """Path-compressed, union-by-size union-find over arbitrary ids."""
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+        self.size: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        if x not in p:
+            p[x] = x
+            self.size[x] = 1
+            return x
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return ra
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+        return ra
+
+
+def _refilter_components(
+    df: pd.DataFrame, max_components: int, _depth: int = 0
+) -> pd.DataFrame:
+    """Assign a 'component' column via union-find; recursively re-filter
+    oversized components at a raised threshold (clustering.py:74-98)."""
+    uf = UnionFind()
+    ids_a = df["id_a"].to_numpy()
+    ids_b = df["id_b"].to_numpy()
+    for a, b in zip(ids_a, ids_b):
+        uf.union(a, b)
+    comp = np.array([uf.find(a) for a in ids_a], dtype=object)
+    df = df.assign(component=comp)
+    sizes = df.groupby("component")["id_a"].transform("size")
+    # node count per component ~ edges+1 lower bound; use unique node count
+    out_parts: list[pd.DataFrame] = []
+    for comp_id, sub in df.groupby("component", sort=False):
+        n_nodes = len(np.unique(np.concatenate([sub["id_a"].to_numpy(), sub["id_b"].to_numpy()])))
+        if n_nodes > max_components and _depth < 20:
+            min_score = float(sub["score"].min())
+            logit = np.log(min_score) - np.log(1 - min_score)
+            threshold = 1.0 / (1.0 + np.exp(-logit - 1))
+            sub2 = sub.sort_values("score")
+            cut = int(np.searchsorted(sub2["score"].to_numpy(), threshold))
+            sub2 = sub2.iloc[max(cut, 2):]
+            if len(sub2):
+                refiltered = _refilter_components(
+                    sub2.drop(columns="component"), max_components, _depth + 1
+                )
+                refiltered = refiltered.assign(
+                    component=str(comp_id) + "/" + refiltered["component"].astype(str)
+                )
+                out_parts.append(refiltered)
+        else:
+            out_parts.append(sub)
+    if not out_parts:
+        return df.iloc[0:0]
+    return pd.concat(out_parts, ignore_index=True)
+
+
+def connected_components_driver(
+    scores: "ray.data.Dataset", max_components: int = 30000
+) -> "ray.data.Dataset":
+    """Small/medium edge sets: collect the edge list (ids+score only, a few
+    tens of bytes/row), label on the driver, return a Dataset with a
+    'component' column.  Used below a size cutoff; the distributed path
+    handles the rest."""
+    df = scores.select_columns(["id_a", "id_b", "score"]).to_pandas()
+    if df.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame({"id_a": [], "id_b": [], "score": [], "component": []})
+        )
+    labeled = _refilter_components(df, max_components)
+    labeled["component"] = labeled["component"].astype(str)
+    return ray.data.from_pandas(labeled)
+
+
+# --------------------------------------------------------------------------
+# distributed min-label propagation (scale path)
+# --------------------------------------------------------------------------
+
+def connected_components_distributed(
+    scores: "ray.data.Dataset",
+    max_iter: int = 25,
+) -> "ray.data.Dataset":
+    """Iterative hash-partitioned min-label propagation (SURVEY.md §7.6).
+
+    Each round: union(label rows, edge rows) -> groupby(node) ->
+    emit min label to self and neighbors -> groupby(node).min.  Converges in
+    O(component diameter) rounds; near-dup components are shallow.  Early
+    exit via a global label-fingerprint aggregate (sum of hash64(node|label))
+    — two equal consecutive fingerprints => fixpoint.
+
+    Scale notes: every round is two shuffles keyed on node id; no
+    driver-side materialization.  The final (node, label) table is joined
+    back to edges by another groupby round, then components equal labels.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    edges = scores.select_columns(["id_a", "id_b"])
+
+    def edge_msgs(t: pa.Table) -> pa.Table:
+        a = t.column("id_a")
+        b = t.column("id_b")
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    adj = edges.map_batches(edge_msgs, batch_format="pyarrow")
+    # initial labels: own id
+    labels = adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "label": pa.compute.min_element_wise(
+                    t.column("node"), t.column("label")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # message pass: nodes send their label to neighbors
+        lab_tagged = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "nbr": pa.array([None] * t.num_rows, pa.string()),
+                    "label": t.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        adj_tagged = adj.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "nbr": t.column("nbr"),
+                    "label": pa.array([None] * t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        unioned = lab_tagged.union(adj_tagged)
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            own = g["label"].dropna()
+            lab = own.min() if len(own) else g["node"].iloc[0]
+            nbrs = g["nbr"].dropna().tolist()
+            nodes = [g["node"].iloc[0]] + nbrs
+            return pd.DataFrame({"node": nodes, "label": [lab] * len(nodes)})
+
+        msgs = unioned.groupby("node").map_groups(propagate, batch_format="pandas")
+        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+
+        def fingerprint(t: pa.Table) -> pa.Table:
+            joined = pa.compute.binary_join_element_wise(
+                t.column("node"), t.column("label"), "|"
+            )
+            h = hash64_str(joined).astype(np.int64)
+            return pa.table({"fp": pa.array([int(h.sum())], pa.int64())})
+
+        fp = (
+            labels.map_batches(fingerprint, batch_format="pyarrow")
+            .aggregate(Sum("fp", alias_name="fp"))
+        )["fp"]
+        if prev_fp is not None and fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # attach labels to edges: groupby(node) join of labels and (node, edge) rows
+    lab_rows = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "id_a": pa.array([None] * t.num_rows, pa.string()),
+                "id_b": pa.array([None] * t.num_rows, pa.string()),
+                "score": pa.array([None] * t.num_rows, pa.float32()),
+                "label": t.column("label"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edge_rows = scores.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("id_a"),
+                "id_a": t.column("id_a"),
+                "id_b": t.column("id_b"),
+                "score": t.column("score").cast(pa.float32()),
+                "label": pa.array([None] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g["label"].dropna()
+        label = lab.iloc[0] if len(lab) else g["node"].iloc[0]
+        e = g[g["id_a"].notna()]
+        if e.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "score": [], "component": []}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": e["id_a"],
+                "id_b": e["id_b"],
+                "score": e["score"],
+                "component": [label] * len(e),
+            }
+        )
+
+    return (
+        lab_rows.union(edge_rows)
+        .groupby("node")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+
+def connected_components(
+    scores: "ray.data.Dataset",
+    max_components: int = 30000,
+    mode: str = "driver",
+) -> "ray.data.Dataset":
+    """SCORES -> edges labeled with 'component'."""
+    if mode == "driver":
+        return connected_components_driver(scores, max_components)
+    return connected_components_distributed(scores)
+
+
+# --------------------------------------------------------------------------
+# per-component hierarchical clustering
+# --------------------------------------------------------------------------
+
+def _cluster_component(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One connected component -> (record_id, cluster_id, cluster_score)
+    rows (clustering.py:196-262 semantics)."""
+    if len(g) == 1:
+        row = g.iloc[0]
+        if row["score"] > threshold:
+            ids = sorted([row["id_a"], row["id_b"]])
+            return pd.DataFrame(
+                {
+                    "record_id": ids,
+                    "cluster_id": [ids[0], ids[0]],
+                    "cluster_score": np.float32(row["score"]),
+                }
+            )
+        return pd.DataFrame(
+            {"record_id": [], "cluster_id": [], "cluster_score": []}
+        )
+
+    nodes = np.unique(np.concatenate([g["id_a"].to_numpy(), g["id_b"].to_numpy()]))
+    N = len(nodes)
+    idx = {n: i for i, n in enumerate(nodes)}
+    D = np.ones((N, N), dtype=np.float64)  # unscored pairs -> distance 1
+    np.fill_diagonal(D, 0.0)
+    ia = g["id_a"].map(idx).to_numpy()
+    ib = g["id_b"].map(idx).to_numpy()
+    d = 1.0 - g["score"].to_numpy(dtype=np.float64)
+    D[ia, ib] = d
+    D[ib, ia] = d
+
+    merges = centroid_linkage(D)
+    labels = fcluster_distance(merges, N, 1.0 - threshold)
+
+    out_ids: list = []
+    out_cids: list = []
+    out_scores: list = []
+    sq = D ** 2
+    for lab in np.unique(labels):
+        members = np.where(labels == lab)[0]
+        if len(members) < 2:
+            continue
+        sub = sq[np.ix_(members, members)]
+        # confidence: 1 - sqrt(sum_j (1-phi_ij)^2 / (N-1))  (clustering.py:241-262)
+        conf = 1.0 - np.sqrt(sub.sum(axis=1) / (len(members) - 1))
+        cid = min(nodes[m] for m in members)
+        for m, c in zip(members, conf):
+            out_ids.append(nodes[m])
+            out_cids.append(cid)
+            out_scores.append(np.float32(c))
+    return pd.DataFrame(
+        {
+            "record_id": out_ids,
+            "cluster_id": out_cids,
+            "cluster_score": pd.Series(out_scores, dtype=np.float32),
+        }
+    )
+
+
+def hierarchical_clusters(
+    components: "ray.data.Dataset",
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Component-labeled edges -> CLUSTERS.
+
+    Hash-bucket co-location: one map_groups task per component-hash bucket,
+    looping components in-process (a per-component Ray dispatch would pay
+    task overhead on millions of tiny components at scale)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        comp = t.column("component")
+        if isinstance(comp, pa.ChunkedArray):
+            comp = comp.combine_chunks()
+        h = hash64_str(comp.cast(pa.string()))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def cluster_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _cluster_component(sub, threshold)
+            for _, sub in g.groupby("component", sort=False)
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {"record_id": [], "cluster_id": [], "cluster_score": []}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        components.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cluster_bucket, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# singleton injection (api.py:186-195)
+# --------------------------------------------------------------------------
+
+def add_singletons(
+    record_ids: "ray.data.Dataset", clusters: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Every record not in a cluster becomes its own cluster with
+    confidence 1.0 — groupby-based anti join (scale-safe: no broadcast of
+    the clustered-id set)."""
+    left = record_ids.map_batches(
+        lambda t: pa.table(
+            {
+                "record_id": t.column("record_id").cast(pa.string()),
+                "cluster_id": pa.array([None] * t.num_rows, pa.string()),
+                "cluster_score": pa.array([None] * t.num_rows, pa.float32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # normalize the clusters side to identical Arrow blocks (a union of
+    # pandas and arrow blocks is rejected by the executor)
+    clusters = clusters.map_batches(
+        lambda t: pa.table(
+            {
+                "record_id": t.column("record_id").cast(pa.string()),
+                "cluster_id": t.column("cluster_id").cast(pa.string()),
+                "cluster_score": t.column("cluster_score").cast(pa.float32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        rid = t.column("record_id")
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        h = hash64_str(rid)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # clustered rows win; remaining record_ids become singletons
+        clustered = g[g["cluster_id"].notna()].drop_duplicates("record_id")
+        rest = g[~g["record_id"].isin(clustered["record_id"])].drop_duplicates(
+            "record_id"
+        )
+        singles = pd.DataFrame(
+            {
+                "record_id": rest["record_id"],
+                "cluster_id": rest["record_id"],
+                "cluster_score": np.float32(1.0),
+            }
+        )
+        return pd.concat(
+            [clustered[["record_id", "cluster_id", "cluster_score"]], singles],
+            ignore_index=True,
+        )
+
+    return (
+        left.union(clusters)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick_bucket, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# one-to-one and gazetteer matching (clustering.py:265-308)
+# --------------------------------------------------------------------------
+
+def greedy_matching(scores: "ray.data.Dataset") -> pd.DataFrame:
+    """One-to-one links: sort by score desc, greedily accept pairs with
+    unseen endpoints.  Inherently sequential (clustering.py:265-277) —
+    distributed sort, then a single driver scan over the (small) survivor
+    stream."""
+    df = (
+        scores.sort("score", descending=True)
+        .select_columns(["id_a", "id_b", "score"])
+        .to_pandas()
+    )
+    seen_a: set = set()
+    seen_b: set = set()
+    keep = []
+    for row in df.itertuples(index=False):
+        if row.id_a not in seen_a and row.id_b not in seen_b:
+            seen_a.add(row.id_a)
+            seen_b.add(row.id_b)
+            keep.append(row)
+    return pd.DataFrame(keep, columns=["id_a", "id_b", "score"])
+
+
+def gazette_matching(
+    scores: "ray.data.Dataset", threshold: float = 0.0, n_matches: int = 1
+) -> "ray.data.Dataset":
+    """Per query record: filter > threshold, top n_matches by score
+    (clustering.py:280-308) — groupby(id_a).map_groups(top_k)."""
+
+    def top_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["score"] > threshold]
+        g = g.sort_values(["score", "id_b"], ascending=[False, True])
+        return g.head(n_matches) if n_matches else g
+
+    return scores.groupby("id_a").map_groups(top_k, batch_format="pandas")

@@ -1,0 +1,101 @@
+"""Candidate-pair generation: the block-key self-join.
+
+Reference semantics (/root/reference/dedupe_extension/dedupe/dedupe/
+api.py:222-254 sqlite join; campaign_finance_dedupe.py:297-316 Postgres):
+within-block all-pairs with ``id_a < id_b``, globally deduplicated — the
+``pairs()`` contract guarantees each pair at most once (api.py:197-205),
+which MUST hold or clustering double-counts edges (SURVEY.md §7 hard parts).
+
+Physical shape: hash-bucket co-location.  A bare
+``groupby(block_key).map_groups`` dispatches a Python call per tiny group
+(millions of them at scale); instead rows are bucketed by
+``hash(block_key) % n_buckets`` and ONE ``map_groups`` task per bucket does
+the per-block combination work vectorized in pandas/numpy.  The same
+pattern dedups pairs by ``hash(pair) % n_buckets``.  ``n_buckets`` is the
+shuffle parallelism knob — size it ~2-4x total cores.
+
+Block sizes are bounded upstream by the hot-key cap (stages/blocking.py), so
+a block emits at most cap*(cap-1)/2 pairs and no bucket task sees a runaway
+group.  Payload columns (_a/_b suffixed) ride along so scoring needs no
+join back to the record table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import hash64_str
+
+PAIR_SEP = "\x1f"  # unit separator: cannot appear in urls
+
+
+def _add_bucket(t: pa.Table, col: str, n_buckets: int) -> pa.Table:
+    h = hash64_str(t.column(col).combine_chunks() if isinstance(t.column(col), pa.ChunkedArray) else t.column(col))
+    bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column("bucket", pa.array(bucket))
+
+
+def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """All rows of one key-hash bucket -> within-block pairs, vectorized per
+    block (numpy triu), python loop only over distinct blocks."""
+    g = g.drop_duplicates(["block_key", "record_id"])
+    payload = [c for c in g.columns if c not in ("block_key", "record_id", "bucket")]
+    out_frames: list[dict] = []
+    for _, sub in g.groupby("block_key", sort=False):
+        n = len(sub)
+        if n < 2:
+            continue
+        sub = sub.sort_values("record_id")
+        ia, ib = np.triu_indices(n, k=1)
+        rec: dict = {
+            "id_a": sub["record_id"].to_numpy()[ia],
+            "id_b": sub["record_id"].to_numpy()[ib],
+        }
+        for c in payload:
+            v = sub[c].to_numpy()
+            rec[c + "_a"] = v[ia]
+            rec[c + "_b"] = v[ib]
+        out_frames.append(rec)
+    if not out_frames:
+        cols = ["id_a", "id_b"] + [c + s for c in payload for s in ("_a", "_b")]
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    return pd.concat([pd.DataFrame(f) for f in out_frames], ignore_index=True)
+
+
+def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    return g.drop_duplicates("pair_key").drop(columns=["bucket"])
+
+
+def candidate_pairs(
+    blocks: "ray.data.Dataset", n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """BLOCKS(+payload) -> unique PAIRS(+payload_a/_b), id_a < id_b.
+
+    Two bucketed shuffles: (1) key-hash buckets for combinations, (2)
+    pair-hash buckets for the at-most-once contract (idempotent under task
+    retries)."""
+    bucketed = blocks.map_batches(
+        _add_bucket, fn_kwargs={"col": "block_key", "n_buckets": n_buckets},
+        batch_format="pyarrow",
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        _pairs_in_bucket, batch_format="pandas"
+    )
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pk = pc.binary_join_element_wise(
+            t.column("id_a"), t.column("id_b"), PAIR_SEP
+        )
+        t = t.append_column("pair_key", pk)
+        return _add_bucket(t, "pair_key", n_buckets)
+
+    keyed = pairs.map_batches(add_pair_key, batch_format="pyarrow")
+    deduped = keyed.groupby("bucket").map_groups(
+        _dedup_bucket, batch_format="pandas"
+    )
+    return deduped.drop_columns(["pair_key"])

