@@ -1,0 +1,79 @@
+"""Checkpointed flagship run: every stage writes partitioned Parquet + a
+lineage manifest; a rerun resumes at the first stale/missing stage — the
+engine-wide generalization of the reference's resume-from-blocking entry
+point (/root/reference/dedupe_extension/start_at_clustering.py:119-374).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..stages.blocking import BlockingConfig, block_records, default_config, drop_hot_keys, hot_keys
+from ..stages.clustering import add_singletons, connected_components, hierarchical_clusters
+from ..stages.extract import extract_text
+from ..stages.normalize import normalize_records
+from ..stages.pairs import candidate_pairs
+from ..stages.scoring import score_pairs
+from ..state.checkpoint import StageCheckpoint, dir_fingerprint
+from ..state.model import Model, default_model
+
+
+def run_dedupe_checkpointed(
+    pages_path: str,
+    workdir: str,
+    cfg: BlockingConfig | None = None,
+    model: Model | None = None,
+    threshold: float = 0.5,
+    cc_mode: str = "driver",
+) -> "ray.data.Dataset":
+    """pages parquet -> CLUSTERS, with resumable per-stage checkpoints under
+    ``workdir`` (records / blocks / scores / clusters)."""
+    cfg = cfg or default_config()
+    model = model or default_model()
+    cfg_params = {
+        "predicates": [repr(p) for p in cfg.predicates],
+        "minhash": (cfg.minhash_column, cfg.minhash_k, cfg.minhash_perms, cfg.minhash_bands),
+        "host_key": cfg.host_key,
+        "max_block_size": cfg.max_block_size,
+    }
+    input_fp = dir_fingerprint(pages_path)
+
+    records_cp = StageCheckpoint(workdir, "records")
+    records = records_cp.run(
+        lambda: normalize_records(extract_text(ray.data.read_parquet(pages_path))),
+        params={"stage": "records"},
+        input_fingerprint=input_fp,
+    )
+
+    blocks_cp = StageCheckpoint(workdir, "blocks")
+    blocks = blocks_cp.run(
+        lambda: block_records(records, cfg),
+        params={"stage": "blocks", **cfg_params},
+        input_fingerprint=records_cp.fingerprint(),
+    )
+
+    scores_cp = StageCheckpoint(workdir, "scores")
+
+    def make_scores() -> "ray.data.Dataset":
+        hot = hot_keys(blocks, cfg.max_block_size)
+        kept = drop_hot_keys(blocks, hot)
+        return score_pairs(candidate_pairs(kept), model=model)
+
+    scores = scores_cp.run(
+        make_scores,
+        params={"stage": "scores", "model": model.to_json(), **cfg_params},
+        input_fingerprint=blocks_cp.fingerprint(),
+    )
+
+    clusters_cp = StageCheckpoint(workdir, "clusters")
+    clusters = clusters_cp.run(
+        lambda: add_singletons(
+            records.select_columns(["record_id"]),
+            hierarchical_clusters(
+                connected_components(scores, mode=cc_mode), threshold=threshold
+            ),
+        ),
+        params={"stage": "clusters", "threshold": threshold, "cc_mode": cc_mode},
+        input_fingerprint=scores_cp.fingerprint(),
+    )
+    return clusters

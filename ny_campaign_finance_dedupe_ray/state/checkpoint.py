@@ -1,0 +1,123 @@
+"""Per-stage Parquet checkpoints with lineage manifests — the generalization
+of the reference's durable mid-pipeline checkpoint (blocking_map persisted in
+Postgres and resumed by /root/reference/dedupe_extension/
+start_at_clustering.py:163-205; final outputs reloaded by
+data_load/cluster_data_load.py:8-73).
+
+Every stage writes a directory of partitioned Parquet plus ``_manifest.json``
+recording (stage params hash, input fingerprint, row count, engine version).
+A rerun with identical params+input skips the stage and re-reads the
+checkpoint; a stale checkpoint (params or upstream fingerprint changed) is
+refused and recomputed — "manifests record input fingerprints so a resumed
+run refuses stale checkpoints" (SURVEY.md §7).  Writes are atomic: a temp
+directory renamed into place, so a crashed writer never yields a
+half-checkpoint that parses as complete.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import ray.data
+
+from .. import __version__
+
+MANIFEST = "_manifest.json"
+
+
+def params_hash(params: dict) -> str:
+    blob = json.dumps(params, sort_keys=True, default=repr).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def dir_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of an input directory/file: names+sizes."""
+    entries = []
+    if os.path.isfile(path):
+        entries.append((os.path.basename(path), os.path.getsize(path)))
+    else:
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith("_"):
+                    continue
+                p = os.path.join(root, f)
+                entries.append((os.path.relpath(p, path), os.path.getsize(p)))
+    blob = json.dumps(sorted(entries)).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+class StageCheckpoint:
+    """One checkpointable stage rooted at ``{workdir}/{name}``."""
+
+    def __init__(self, workdir: str, name: str):
+        self.dir = os.path.join(workdir, name)
+        self.name = name
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.dir, MANIFEST)
+
+    def manifest(self) -> dict | None:
+        try:
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def is_valid(self, params: dict, input_fingerprint: str) -> bool:
+        m = self.manifest()
+        return (
+            m is not None
+            and m.get("complete") is True
+            and m.get("params_hash") == params_hash(params)
+            and m.get("input_fingerprint") == input_fingerprint
+        )
+
+    def fingerprint(self) -> str:
+        """Fingerprint of this checkpoint's own output (chains stages)."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(self.manifest_path)
+        return m["output_fingerprint"]
+
+    def read(self) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self.dir)
+
+    def run(
+        self,
+        factory: Callable[[], "ray.data.Dataset"],
+        params: dict,
+        input_fingerprint: str,
+    ) -> "ray.data.Dataset":
+        """Return the stage output, recomputing only when the checkpoint is
+        missing or stale."""
+        if self.is_valid(params, input_fingerprint):
+            return self.read()
+        tmp = self.dir + ".tmp.%d" % os.getpid()
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ds = factory()
+        ds.write_parquet(tmp)
+        rows = ray.data.read_parquet(tmp).count()
+        manifest = {
+            "stage": self.name,
+            "complete": True,
+            "params_hash": params_hash(params),
+            "params": {k: repr(v) for k, v in params.items()},
+            "input_fingerprint": input_fingerprint,
+            "output_fingerprint": dir_fingerprint(tmp),
+            "row_count": rows,
+            "engine_version": __version__,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=2)
+        if os.path.exists(self.dir):
+            shutil.rmtree(self.dir)
+        os.replace(tmp, self.dir)
+        return self.read()
