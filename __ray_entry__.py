@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing in
+here calls ray.init()/ray.shutdown().  Each ``queries()[name](sf_dir)``
+returns a Dataset / pandas DataFrame / pyarrow Table; ``oracle_sql()[name]``
+is the DuckDB-equivalent SQL over the same parquet views (column names match
+exactly; float aggregates rounded identically on both sides).
 """
 
 from __future__ import annotations
@@ -18,27 +12,241 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship record-linkage pipeline on sf0.001: wrap the documents table
+    into Common-Crawl-style pages (with perturbed near-dup copies), then
+    extract -> block (MinHash/LSH) -> score -> cluster."""
+    return _q_dedupe_pages("/root/testdata/sf0.001")
+
+
+def _q_dedupe_pages(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray import synth
+    from ny_campaign_finance_dedupe_ray.pipelines.dedupe_pages import dedupe_pages
+    from ny_campaign_finance_dedupe_ray.stages.blocking import doc_config
+    from ny_campaign_finance_dedupe_ray.state.model import doc_model
+
+    pages = synth.pages_from_documents(sf_dir, copies=2)
+    return dedupe_pages(
+        rd.from_arrow(pages), cfg=doc_config(), model=doc_model()
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def _q_minhash_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.dedup import minhash_lsh_clusters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_clusters(docs, jaccard_threshold=0.8)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.dedup import simhash_signatures
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_signatures(docs)
+
+
+def _q_normalize_docs(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import normalize_documents
+
+    return normalize_documents(sf_dir)
+
+
+def _q_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.textstats import token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_counts(docs).select_columns(["doc_id", "n_ws_tokens"])
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.textstats import lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.textstats import quality_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_score(docs).select_columns(
+        ["doc_id", "n_tokens", "punct_ratio", "stop_ratio", "quality"]
+    )
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.textstats import fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprints(docs)
+
+
+def _q_top_customers(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import top_customers
+
+    return top_customers(sf_dir, k=10)
+
+
+def _q_customer_order_stats(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import customer_order_stats
+
+    return customer_order_stats(sf_dir)
+
+
+def _q_event_type_counts(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import event_type_counts
+
+    return event_type_counts(sf_dir)
+
+
+def _q_pricing_summary(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import (
+        lineitem_pricing_summary,
+    )
+
+    return lineitem_pricing_summary(sf_dir)
+
+
+def _q_gazette_top_orders(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import gazette_top_orders
+
+    return gazette_top_orders(sf_dir, n_matches=2)
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.ann import brute_force_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy())
+    out = brute_force_topk(emb, Q, query_ids=qdf["vec_id"].tolist(), k=10)
+    return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # the synthetic embeddings are near-isotropic: cosine 0.4 is already a
+    # >3-sigma outlier pair, so that is the "near-duplicate" bar here
+    return embedding_neardup_pairs(emb, threshold=0.4, n_planes=4, n_probes=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "dedupe_pages": _q_dedupe_pages,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_clusters": _q_minhash_clusters,
+        "simhash_signatures": _q_simhash,
+        "normalize_docs": _q_normalize_docs,
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "fingerprints": _q_fingerprints,
+        "top_customers": _q_top_customers,
+        "customer_order_stats": _q_customer_order_stats,
+        "event_type_counts": _q_event_type_counts,
+        "pricing_summary": _q_pricing_summary,
+        "gazette_top_orders": _q_gazette_top_orders,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS canonical_id, "
+            "CAST(COUNT(*) AS BIGINT) AS dup_count "
+            "FROM documents GROUP BY text"
+        ),
+        "normalize_docs": (
+            "SELECT doc_id, NULLIF(TRIM(regexp_replace(regexp_replace("
+            "lower(text), '[^0-9a-z_ \\t\\n\\r]', '', 'g'), '\\s+', ' ', 'g')), '') "
+            "AS text_norm FROM documents"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS BIGINT) AS n_ws_tokens FROM documents"
+        ),
+        "top_customers": (
+            "SELECT c.c_name AS c_name, "
+            "ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS total_amount "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_name "
+            "ORDER BY total_amount DESC, c_name ASC LIMIT 10"
+        ),
+        "customer_order_stats": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total_customers, "
+            "CAST(MAX(n_orders) AS BIGINT) AS max_orders, "
+            "ROUND(AVG(n_orders), 6) AS avg_orders, "
+            "CAST(SUM(n_orders) AS BIGINT) AS total_orders FROM ("
+            "SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)"
+        ),
+        "event_type_counts": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "WHERE value > 0 GROUP BY event_type ORDER BY event_type"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "gazette_top_orders": (
+            "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice "
+            "FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR) ASC) AS rn "
+            "FROM orders) WHERE rn <= 2 AND o_totalprice > 0 "
+            "ORDER BY o_custkey, o_orderkey"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "WHERE vec_id IN (0, 1, 2)) "
+            "SELECT qid AS query_id, vec_id FROM ("
+            "SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC"
+            ") AS rn FROM embeddings e CROSS JOIN q) "
+            "WHERE rn <= 10 ORDER BY query_id, vec_id"
+        ),
+        # dedupe_pages / minhash_clusters / simhash_signatures / lang_id /
+        # quality_score / fingerprints / embedding_neardup are not
+        # SQL-expressible (stateful hashing / model scoring / iterative
+        # clustering) -> rows-only checks.
+    }

@@ -1,0 +1,222 @@
+"""Relational payoff operators — the reference's stats/aggregate SQL re-shaped
+for Ray Data (SURVEY.md §2.7): top-k grouped sums with a broadcast dimension
+join, cluster-size stats, filtered counts, and normalizer projections.
+
+Scale idioms demonstrated here and reused by the stats stage:
+- prune columns at the read (``read_parquet(columns=[...])``)
+- partial aggregation inside ``map_batches`` before the (small) groupby
+- broadcast the small dimension side with ``ray.put`` + per-batch lookup
+  instead of a shuffle join
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions import textnorm
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order amount — the Top-10 deduped donors
+    query (/root/reference/dedupe_extension/campaign_finance_dedupe.py:381-398)
+    with orders as contributions and customers as donors.
+
+    orders is the fact side (partial-agg per batch -> groupby sum); customer
+    is broadcast (ray.put once)."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("o_custkey", as_index=False)["o_totalprice"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_amount"))
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        keys = t.column("o_custkey").to_pylist()
+        return pa.table(
+            {
+                "c_name": pa.array([names.get(kk) for kk in keys], pa.string()),
+                "total_amount": t.column("total_amount"),
+            }
+        )
+
+    out = (
+        totals.map_batches(attach_name, batch_format="pyarrow")
+        .sort(["total_amount", "c_name"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["total_amount"] = out["total_amount"].round(2)
+    return out
+
+
+def customer_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Cluster-size stats over orders-per-customer — the MAX/AVG/COUNT
+    cluster stats query (campaign_finance_dedupe.py:449-468) with customers
+    as clusters."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column("o_custkey").value_counts()
+        return pa.table(
+            {"o_custkey": vc.field("values"), "partial": vc.field("counts")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("partial", alias_name="n_orders"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "total_customers": [int(len(sizes))],
+            "max_orders": [int(sizes["n_orders"].max())],
+            "avg_orders": [round(float(sizes["n_orders"].mean()), 6)],
+            "total_orders": [int(sizes["n_orders"].sum())],
+        }
+    )
+
+
+def event_type_counts(sf_dir: str) -> pd.DataFrame:
+    """Filtered count by type — the transaction-code filter + count shape
+    (/root/reference/data_load/all_txt_to_csv.py:28-33)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("value"), 0.0))
+        vc = t.column("event_type").value_counts()
+        return pa.table(
+            {"event_type": vc.field("values"), "partial": vc.field("counts")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped pruned aggregate: demonstrates column-pruned read +
+    per-batch partial aggregation before a tiny groupby."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t.column("l_returnflag").to_pandas(),
+                "l_linestatus": t.column("l_linestatus").to_pandas(),
+                "sum_qty": t.column("l_quantity").to_pandas(),
+                "sum_revenue": rev.to_pandas(),
+                "n_rows": 1,
+            }
+        )
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_revenue", alias_name="sum_revenue"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_revenue"] = out["sum_revenue"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def normalize_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Lower/trim/punct-strip/null-empty projection over documents — the
+    processed_donors normalizer shape
+    (/root/reference/data_load/init_postgres_db.py:110-121,187-199)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_norm": textnorm.lower_trim_null(
+                    textnorm.strip_punctuation(t.column("text"))
+                ),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def gazette_top_orders(sf_dir: str, n_matches: int = 2) -> pd.DataFrame:
+    """Gazetteer top-k shaped query: per customer, the top-n orders by
+    amount (clustering.py:280-308 semantics over relational data)."""
+    from ..stages.clustering import gazette_matching
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def reshape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t.column("o_custkey").cast(pa.string()),
+                "id_b": t.column("o_orderkey").cast(pa.string()),
+                "score": t.column("o_totalprice"),
+            }
+        )
+
+    scores = orders.map_batches(reshape, batch_format="pyarrow")
+    out = gazette_matching(scores, threshold=0.0, n_matches=n_matches).to_pandas()
+    out = out.rename(
+        columns={"id_a": "o_custkey", "id_b": "o_orderkey", "score": "o_totalprice"}
+    )
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)

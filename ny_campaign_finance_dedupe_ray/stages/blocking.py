@@ -73,6 +73,17 @@ def default_config() -> BlockingConfig:
     )
 
 
+def doc_config() -> BlockingConfig:
+    """Blocking for free-text document pages: MinHash/LSH bands over the
+    normalized text only (no profile-field predicates), compact payload."""
+    return BlockingConfig(
+        predicates=[],
+        minhash_column="text_norm",
+        payload_columns=("text_norm",),
+        host_key=False,
+    )
+
+
 def _block_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     rids = batch.column("record_id").to_pylist()
     n = len(rids)

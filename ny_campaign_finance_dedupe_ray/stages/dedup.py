@@ -1,0 +1,504 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+These generalize the reference's exact dedup (SELECT DISTINCT over identity
+fields, /root/reference/data_load/init_postgres_db.py:110-113) and its
+canopy-style near-dup blocking (tfidf.py/canopy) to the document table shape:
+
+- exact_dedup          hash-partition + per-group min-id  (exact)
+- minhash_lsh_clusters shingle -> minhash -> band-bucket groupby ->
+                       candidate pairs -> jaccard verify -> components
+- simhash_clusters     64-bit simhash, bucket by rotated prefixes, verify by
+                       hamming distance
+- ngram_jaccard_pairs  exact k-shingle jaccard over candidate pairs
+- embedding_neardup    cosine-similarity near-dup pairs over an embedding
+                       column (LSH-bucketed by random hyperplanes)
+
+All stages are Dataset -> Dataset, vectorized (numpy/arrow) inside
+``map_batches``, shuffled only by bucketed groupbys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import hashing as H
+from .clustering import UnionFind
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Group identical ``text_column`` values; keep the minimum id as
+    canonical.  Output: (canonical_id, dup_count) one row per distinct text.
+
+    Shuffle carries (hash-bucket, text-hash, id) — never the full text."""
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = H.hash64_str(col)
+        return pa.table(
+            {
+                "text_hash": pa.array(h.astype(np.int64)),  # stable content hash
+                "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+                "id": t.column(id_column),
+            }
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("text_hash")["id"].agg(["min", "size"]).reset_index()
+        return pd.DataFrame(
+            {"canonical_id": agg["min"], "dup_count": agg["size"].astype("int64")}
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-duplicate clustering
+# --------------------------------------------------------------------------
+
+def minhash_band_table(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 5,
+    n_perm: int = 128,
+    n_bands: int = 16,
+) -> "ray.data.Dataset":
+    """(band_key, id, text) rows — the stateless LSH flat-map."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        col = t.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h, splits = H.shingle_hashes(col, k=k)
+        sigs = H.minhash(h, splits, n_perm=n_perm)
+        rows, keys = H.lsh_band_keys(sigs, n_bands=n_bands)
+        idx = pa.array(rows)
+        return pa.table(
+            {
+                "band_key": pa.array([str(x) for x in keys], pa.string()),
+                "id": t.column(id_column).take(idx),
+                "text": col.take(idx),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(
+    bands: "ray.data.Dataset",
+    n_buckets: int = 64,
+    max_band_size: int = 500,
+) -> "ray.data.Dataset":
+    """band groupby -> within-band pairs (id_a < id_b), deduped.
+
+    Oversized bands (degenerate text) are dropped — the stop-word analogue.
+    Output: (id_a, id_b, text_a, text_b)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t.column("band_key")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = H.hash64_str(col)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("band_key", sort=False):
+            sub = sub.drop_duplicates("id")
+            n = len(sub)
+            if n < 2 or n > max_band_size:
+                continue
+            sub = sub.sort_values("id")
+            ia, ib = np.triu_indices(n, k=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": sub["id"].to_numpy()[ia],
+                        "id_b": sub["id"].to_numpy()[ib],
+                        "text_a": sub["text"].to_numpy()[ia],
+                        "text_b": sub["text"].to_numpy()[ib],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in ("id_a", "id_b", "text_a", "text_b")}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out
+
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    # global pair dedup, bucketed on the pair key
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = t.column("id_a").cast(pa.string())
+        b = t.column("id_b").cast(pa.string())
+        pk = pc.binary_join_element_wise(a, b, "\x1f")
+        h = H.hash64_str(pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk)
+        t = t.append_column("pair_key", pk)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates("pair_key").drop(columns=["bucket", "pair_key"]),
+            batch_format="pandas",
+        )
+    )
+
+
+def verify_jaccard(
+    pairs: "ray.data.Dataset", k: int = 5, threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """Exact k-shingle Jaccard per candidate pair (vectorized shingle sets
+    via the rolling hash); keeps pairs with jaccard >= threshold.
+    Output: (id_a, id_b, jaccard)."""
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        ta = t.column("text_a")
+        tb = t.column("text_b")
+        if isinstance(ta, pa.ChunkedArray):
+            ta = ta.combine_chunks()
+        if isinstance(tb, pa.ChunkedArray):
+            tb = tb.combine_chunks()
+        ha, sa = H.shingle_hashes(ta, k=k)
+        hb, sb = H.shingle_hashes(tb, k=k)
+        jac = np.zeros(t.num_rows)
+        for i in range(t.num_rows):
+            A = set(ha[sa[i]: sa[i + 1]].tolist())
+            B = set(hb[sb[i]: sb[i + 1]].tolist())
+            if not A and not B:
+                jac[i] = 1.0
+            elif A and B:
+                jac[i] = len(A & B) / len(A | B)
+        keep = pa.array(jac >= threshold)
+        return pa.table(
+            {
+                "id_a": t.column("id_a").filter(keep),
+                "id_b": t.column("id_b").filter(keep),
+                "jaccard": pa.array(jac[jac >= threshold]),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_lsh_clusters(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 5,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Full near-dup pipeline: LSH bands -> candidate pairs -> exact jaccard
+    verify -> connected components.  Output: (id, cluster_id) for every
+    input row (cluster_id = min member id; singletons map to themselves)."""
+    bands = minhash_band_table(
+        ds, text_column=text_column, id_column=id_column,
+        k=k, n_perm=n_perm, n_bands=n_bands,
+    )
+    cands = lsh_candidate_pairs(bands)
+    verified = verify_jaccard(cands, k=k, threshold=jaccard_threshold)
+
+    # components on the driver: the verified near-dup edge set is tiny
+    # relative to the corpus (bounded by band sizes); at 10^12-doc scale
+    # swap in clustering.connected_components_distributed.
+    edges = verified.select_columns(["id_a", "id_b"]).to_pandas()
+    uf = UnionFind()
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        uf.union(a, b)
+    roots: dict = {}
+    for node in list(uf.parent):
+        r = uf.find(node)
+        roots.setdefault(r, []).append(node)
+    label = {}
+    for members in roots.values():
+        m = min(members)
+        for node in members:
+            label[node] = m
+    label_ref = ray.put(label)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = ray.get(label_ref)
+        ids = t.column(id_column).to_pylist()
+        return pa.table(
+            {
+                "id": t.column(id_column),
+                "cluster_id": pa.array(
+                    [lab.get(i, i) for i in ids],
+                    t.column(id_column).type,
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 4,
+) -> "ray.data.Dataset":
+    """(id, simhash int64) per row."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        col = t.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h, splits = H.shingle_hashes(col, k=k)
+        sig = H.simhash(h, splits)
+        return pa.table(
+            {
+                "id": t.column(id_column),
+                "simhash": pa.array(sig.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(
+    sigs: "ray.data.Dataset", max_hamming: int = 3, n_tables: int = 4
+) -> "ray.data.Dataset":
+    """Bucket by each of ``n_tables`` 16-bit chunks of the signature (a
+    hamming-<=3 pair agrees exactly on at least one of 4 chunks by
+    pigeonhole); verify hamming within buckets.
+    Output: (id_a, id_b, hamming)."""
+
+    def emit_chunks(t: pa.Table) -> pa.Table:
+        sig = t.column("simhash").to_numpy().astype(np.uint64)
+        n = len(sig)
+        ids = t.column("id")
+        out_ids, out_sigs, out_keys = [], [], []
+        for c in range(n_tables):
+            chunk = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            keys = [f"{c}:{int(x)}" for x in chunk]
+            out_keys.extend(keys)
+            out_ids.append(ids)
+            out_sigs.append(t.column("simhash"))
+        return pa.table(
+            {
+                "chunk_key": pa.array(out_keys, pa.string()),
+                "id": pa.concat_arrays([i.combine_chunks() if isinstance(i, pa.ChunkedArray) else i for i in out_ids]),
+                "simhash": pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s for s in out_sigs]),
+            }
+        )
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("chunk_key", sort=False):
+            sub = sub.drop_duplicates("id").sort_values("id")
+            n = len(sub)
+            if n < 2 or n > 500:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            sa = sub["simhash"].to_numpy().astype(np.uint64)
+            ham = H.hamming64(sa[ia], sa[ib])
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": sub["id"].to_numpy()[ia][keep],
+                            "id_b": sub["id"].to_numpy()[ib][keep],
+                            "hamming": ham[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=object),
+                 "id_b": pd.Series([], dtype=object),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["id_a", "id_b"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        col = t.column("chunk_key")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = H.hash64_str(col)
+        return t.append_column("bucket", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    bucketed = sigs.map_batches(emit_chunks, batch_format="pyarrow").map_batches(
+        bucket, batch_format="pyarrow"
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        pairs_in_group, batch_format="pandas"
+    )
+    # cross-bucket duplicates (same pair via two chunk tables in different
+    # buckets) — final dedup pass
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pk = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()),
+            "\x1f",
+        )
+        h = H.hash64_str(pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk)
+        t = t.append_column("pair_key", pk)
+        return t.append_column("bucket2", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(
+            lambda g: g.drop_duplicates("pair_key").drop(columns=["bucket2", "pair_key"]),
+            batch_format="pandas",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset",
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_probes: int = 2,
+) -> "ray.data.Dataset":
+    """Random-hyperplane LSH buckets (seeded), exact cosine verify within
+    buckets.  n_probes > 1 re-buckets with independent plane sets to recover
+    boundary misses.  Output: (id_a, id_b, cosine >= threshold)."""
+    rng = np.random.default_rng(0xB10C)
+    planes = [rng.normal(size=(n_planes, _embedding_dim(ds, embedding_column)))
+              for _ in range(n_probes)]
+
+    def emit(t: pa.Table) -> pa.Table:
+        emb = np.stack(t.column(embedding_column).to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = emb / norms
+        ids = t.column(id_column)
+        keys, row_idx = [], []
+        for p, P in enumerate(planes):
+            bits = (unit @ P.T > 0).astype(np.uint32)
+            code = np.zeros(len(unit), dtype=np.uint32)
+            for b in range(P.shape[0]):
+                code |= bits[:, b] << b
+            keys.extend(f"{p}:{int(c)}" for c in code)
+            row_idx.extend(range(len(unit)))
+        idx = pa.array(np.asarray(row_idx, dtype=np.int64))
+        return pa.table(
+            {
+                "bkey": pa.array(keys, pa.string()),
+                "id": ids.take(idx),
+                "vec": pa.array(list(unit[np.asarray(row_idx)]), pa.list_(pa.float64())),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("bkey", sort=False):
+            sub = sub.drop_duplicates("id").sort_values("id")
+            n = len(sub)
+            if n < 2 or n > 1000:
+                continue
+            V = np.stack(sub["vec"].to_numpy())
+            sims = V @ V.T
+            ia, ib = np.triu_indices(n, k=1)
+            s = sims[ia, ib]
+            keep = s >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": sub["id"].to_numpy()[ia][keep],
+                            "id_b": sub["id"].to_numpy()[ib][keep],
+                            "cosine": s[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=object),
+                 "id_b": pd.Series([], dtype=object),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        col = t.column("bkey")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = H.hash64_str(col)
+        return t.append_column("bucket", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    pairs = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["bucket2"])
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pk = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()),
+            "\x1f",
+        )
+        h = H.hash64_str(pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk)
+        return t.append_column("bucket2", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def _embedding_dim(ds: "ray.data.Dataset", col: str) -> int:
+    row = ds.take(1)[0]
+    return len(row[col])

@@ -88,6 +88,25 @@ def default_model() -> Model:
     return Model(features=feats, weights=weights, bias=bias, threshold=0.5)
 
 
+def doc_model() -> Model:
+    """Pre-fit model for free-text document pages (the pages_from_documents
+    shape): features over the normalized whole text.  Weights fit offline
+    with ``fit_logistic`` on seeded positive (perturbed-copy) / negative
+    (cross-document) pairs from the sf0.001 documents table — train accuracy
+    1.0; see tests/test_pipeline_f1.py::test_doc_pages_f1."""
+    feats = [
+        Feature("jw_text", "text_norm", "jaro_winkler"),
+        Feature("lev_text", "text_norm", "levenshtein_ratio"),
+        Feature("nm_text", "text_norm", "not_missing"),
+    ]
+    return Model(
+        features=feats,
+        weights=[2.7623, 9.2671, -0.7326],
+        bias=-7.6955,
+        threshold=0.5,
+    )
+
+
 def sigmoid(x: np.ndarray) -> np.ndarray:
     out = np.empty_like(x, dtype=np.float64)
     pos = x >= 0

@@ -193,29 +193,48 @@ def generate(
     return {"pages": pages, "labels": labels, "entities": entities}
 
 
-def pages_from_documents(sf_dir: str, copies_seed: int = 42) -> pa.Table:
+def pages_from_documents(
+    sf_dir: str, copies_seed: int = 42, copies: int = 1
+) -> pa.Table:
     """Deterministically wrap the driver-generated ``documents`` table
-    (TESTDATA.md) into the pages shape: one page per document, url keyed by
-    doc_id, html templated via render_html so extract(html) == text."""
+    (TESTDATA.md) into the pages shape: url keyed by doc_id, html templated
+    via render_html so extract(html) == text byte-identically.
+
+    ``copies > 1`` additionally emits perturbed near-duplicate copies of
+    each document (seeded word drops) so the matcher has real work — used
+    by bench.py to scale the flagship input from the same testdata."""
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
     langs = t.column("lang").to_pylist()
     rng = np.random.default_rng(copies_seed)
-    hosts = rng.choice(len(_HOSTS), size=len(doc_ids))
     t0 = np.datetime64("2024-01-01T00:00:00", "us")
-    urls = [
-        f"https://{_HOSTS[int(h)]}/d{d:09d}" for h, d in zip(hosts, doc_ids)
-    ]
-    htmls = [render_html(f"doc {d}", x or "") for d, x in zip(doc_ids, texts)]
-    ts = [t0 + np.timedelta64(i * 1000, "us") for i in range(len(urls))]
+    urls, htmls, out_texts, out_langs, ts = [], [], [], [], []
+    for d, x, lg in zip(doc_ids, texts, langs):
+        x = x or ""
+        for c in range(copies):
+            if c == 0:
+                tx = x
+            else:
+                words = x.split()
+                if len(words) > 4:
+                    drop = int(rng.integers(0, len(words)))
+                    tx = " ".join(words[:drop] + words[drop + 1:])
+                else:
+                    tx = x
+            host = _HOSTS[int(rng.integers(0, len(_HOSTS)))]
+            urls.append(f"https://{host}/d{d:09d}/c{c}")
+            htmls.append(render_html(f"doc {d}", tx))
+            out_texts.append(tx)
+            out_langs.append(lg)
+            ts.append(t0 + np.timedelta64(len(urls) * 1000, "us"))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
-            "text": pa.array([x or "" for x in texts], pa.string()),
-            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
         }
     )
 

@@ -1,0 +1,93 @@
+"""Dedup operator suite: exact, MinHash-LSH, SimHash, embedding near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ny_campaign_finance_dedupe_ray.stages import dedup as D
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly "
+    "on the quiet village roofs and the river keeps rolling toward the sea"
+)
+
+
+def test_exact_dedup():
+    ds = _docs([BASE, BASE, "other text entirely", BASE, "other text entirely"])
+    out = D.exact_dedup(ds).to_pandas().sort_values("canonical_id")
+    got = list(zip(out["canonical_id"], out["dup_count"]))
+    assert got == [(0, 3), (2, 2)]
+
+
+def test_minhash_lsh_clusters():
+    near = BASE.replace("lazy", "hazy")
+    far = "completely different content with no resemblance to anything else here at all okay"
+    ds = _docs([BASE, near, far, BASE])
+    out = D.minhash_lsh_clusters(ds, jaccard_threshold=0.5).to_pandas()
+    lab = dict(zip(out["id"], out["cluster_id"]))
+    assert lab[0] == lab[1] == lab[3] == 0
+    assert lab[2] == 2
+
+
+def test_lsh_candidate_pairs_dedup():
+    ds = _docs([BASE, BASE])
+    bands = D.minhash_band_table(ds)
+    pairs = D.lsh_candidate_pairs(bands).to_pandas()
+    # identical docs share every band key but the pair appears exactly once
+    assert len(pairs) == 1
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_verify_jaccard_threshold():
+    ds = _docs([BASE, BASE.replace("fox", "cat"), "zzz qqq vvv www"])
+    bands = D.minhash_band_table(ds)
+    pairs = D.lsh_candidate_pairs(bands)
+    out = D.verify_jaccard(pairs, threshold=0.8).to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 1)}
+    assert (out["jaccard"] >= 0.8).all()
+
+
+def test_simhash_neardup():
+    near = BASE.replace("dog", "dogs")
+    far = "an utterly unrelated passage about galaxies, quasars and the void between them"
+    sigs = D.simhash_signatures(_docs([BASE, near, far]))
+    pairs = D.simhash_neardup_pairs(sigs, max_hamming=8).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_embedding_neardup_pairs():
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    near = base + rng.normal(scale=0.01, size=16)
+    far = rng.normal(size=16)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [base.tolist(), near.tolist(), far.tolist()],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = D.embedding_neardup_pairs(
+        rd.from_arrow(tbl), threshold=0.98
+    ).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)
