@@ -39,6 +39,11 @@ def _init_ray():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # NOTE: ShuffleStrategy.HASH_SHUFFLE measured 2.5x faster on the
+    # bucketed pair-generation shuffle in isolation, but its aggregator
+    # actors deadlock against the scoring actor pool when the whole
+    # pipeline runs under a fixed CPU budget — stay on the sort-based
+    # default until the two stages get disjoint resource reservations.
 
 
 def headline() -> dict:
@@ -54,8 +59,6 @@ def headline() -> dict:
     from ny_campaign_finance_dedupe_ray.stages.blocking import (
         block_records,
         doc_config,
-        drop_hot_keys,
-        hot_keys,
     )
     from ny_campaign_finance_dedupe_ray.stages.pairs import candidate_pairs
     from ny_campaign_finance_dedupe_ray.stages.scoring import score_pairs
@@ -71,13 +74,13 @@ def headline() -> dict:
 
     cfg = doc_config()
     t0 = time.time()
-    blocks = block_records(records, cfg).materialize()
-    hot = hot_keys(blocks, cfg.max_block_size)
-    kept = drop_hot_keys(blocks, hot)
+    blocks = block_records(records, cfg)
     # min_score=0 scores every candidate pair (pairs-scored metric), the
     # match filter is applied afterwards
     scores_all = score_pairs(
-        candidate_pairs(kept, n_buckets=2 * NUM_CPUS),
+        candidate_pairs(
+            blocks, n_buckets=2 * NUM_CPUS, max_block_size=cfg.max_block_size
+        ),
         model=doc_model(),
         min_score=0.0,
         concurrency=(1, NUM_CPUS),

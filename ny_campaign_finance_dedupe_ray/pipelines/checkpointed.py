@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import ray.data
 
-from ..stages.blocking import BlockingConfig, block_records, default_config, drop_hot_keys, hot_keys
+from ..stages.blocking import BlockingConfig, block_records, default_config
 from ..stages.clustering import add_singletons, connected_components, hierarchical_clusters
 from ..stages.extract import extract_text
 from ..stages.normalize import normalize_records
@@ -55,9 +55,10 @@ def run_dedupe_checkpointed(
     scores_cp = StageCheckpoint(workdir, "scores")
 
     def make_scores() -> "ray.data.Dataset":
-        hot = hot_keys(blocks, cfg.max_block_size)
-        kept = drop_hot_keys(blocks, hot)
-        return score_pairs(candidate_pairs(kept), model=model)
+        return score_pairs(
+            candidate_pairs(blocks, max_block_size=cfg.max_block_size),
+            model=model,
+        )
 
     scores = scores_cp.run(
         make_scores,

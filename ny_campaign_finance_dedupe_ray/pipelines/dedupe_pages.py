@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import ray.data
 
-from ..stages.blocking import BlockingConfig, block_records, default_config, drop_hot_keys, hot_keys
+from ..stages.blocking import BlockingConfig, block_records, default_config
 from ..stages.clustering import add_singletons, connected_components, hierarchical_clusters
 from ..stages.extract import extract_text
 from ..stages.normalize import normalize_records
@@ -32,14 +32,15 @@ def records_to_scores(
     scorer_concurrency=(1, 8),
 ) -> "ray.data.Dataset":
     cfg = cfg or default_config()
-    # The hot-key frequency pass must consume the whole blocks table before
-    # pair generation can filter on it — an inherent barrier.  Materialize
-    # blocks once (keys + compact payload, far smaller than the input pages)
-    # instead of re-executing the blocking lineage for the second consumer.
-    blocks = block_records(records, cfg).materialize()
-    hot = hot_keys(blocks, cfg.max_block_size)
-    blocks = drop_hot_keys(blocks, hot)
-    pairs = candidate_pairs(blocks)
+    # Fully streaming: blocking flat-map -> bucketed pair generation.  The
+    # hot-key cap (stop-word analogue) is applied inside the pair-gen bucket
+    # tasks — every row of a block key hashes to the same bucket, so the
+    # per-key counts there are globally exact and no separate counting
+    # shuffle or blocks materialization is needed.  The standalone
+    # hot_keys()/drop_hot_keys() pass remains available for multi-consumer
+    # pipelines that reuse the blocks table.
+    blocks = block_records(records, cfg)
+    pairs = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
     return score_pairs(pairs, model=model, concurrency=scorer_concurrency)
 
 

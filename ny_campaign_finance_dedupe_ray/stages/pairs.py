@@ -38,31 +38,46 @@ def _add_bucket(t: pa.Table, col: str, n_buckets: int) -> pa.Table:
     return t.append_column("bucket", pa.array(bucket))
 
 
-def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """All rows of one key-hash bucket -> within-block pairs, vectorized per
-    block (numpy triu), python loop only over distinct blocks."""
-    g = g.drop_duplicates(["block_key", "record_id"])
+def _pairs_in_bucket(g: pd.DataFrame, max_block_size: int | None) -> pd.DataFrame:
+    """All rows of one key-hash bucket -> within-block pairs, fully
+    vectorized: one numpy pass per distinct group SIZE (<= cap sizes), no
+    per-key Python/pandas loop (a bucket holds ~10^5 tiny groups at scale;
+    per-group dispatch would dominate).
+
+    Because the bucket key is hash(block_key), every row of a block key is
+    in exactly one bucket — so per-key counts here are globally exact, and
+    the hot-key cap (keys with more than ``max_block_size`` records are
+    dropped, the stop-word analogue of canopy_index.py:20-31) is applied in
+    the same pass with no separate counting shuffle."""
     payload = [c for c in g.columns if c not in ("block_key", "record_id", "bucket")]
-    out_frames: list[dict] = []
-    for _, sub in g.groupby("block_key", sort=False):
-        n = len(sub)
-        if n < 2:
-            continue
-        sub = sub.sort_values("record_id")
-        ia, ib = np.triu_indices(n, k=1)
-        rec: dict = {
-            "id_a": sub["record_id"].to_numpy()[ia],
-            "id_b": sub["record_id"].to_numpy()[ib],
-        }
-        for c in payload:
-            v = sub[c].to_numpy()
-            rec[c + "_a"] = v[ia]
-            rec[c + "_b"] = v[ib]
-        out_frames.append(rec)
-    if not out_frames:
-        cols = ["id_a", "id_b"] + [c + s for c in payload for s in ("_a", "_b")]
+    cols = ["id_a", "id_b"] + [c + s for c in payload for s in ("_a", "_b")]
+    g = g.drop_duplicates(["block_key", "record_id"])
+    g = g.sort_values(["block_key", "record_id"], kind="mergesort")
+    keys = g["block_key"].to_numpy()
+    if len(keys) == 0:
         return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
-    return pd.concat([pd.DataFrame(f) for f in out_frames], ignore_index=True)
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    valid = counts >= 2
+    if max_block_size is not None:
+        valid &= counts <= max_block_size
+    ia_parts: list[np.ndarray] = []
+    ib_parts: list[np.ndarray] = []
+    for s in np.unique(counts[valid]):
+        st = starts[valid & (counts == s)]
+        la, lb = np.triu_indices(int(s), k=1)
+        ia_parts.append((st[:, None] + la[None, :]).ravel())
+        ib_parts.append((st[:, None] + lb[None, :]).ravel())
+    if not ia_parts:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    rid = g["record_id"].to_numpy()
+    out = {"id_a": rid[ia], "id_b": rid[ib]}
+    for c in payload:
+        v = g[c].to_numpy()
+        out[c + "_a"] = v[ia]
+        out[c + "_b"] = v[ib]
+    return pd.DataFrame(out)
 
 
 def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -70,19 +85,21 @@ def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def candidate_pairs(
-    blocks: "ray.data.Dataset", n_buckets: int = 64
+    blocks: "ray.data.Dataset",
+    n_buckets: int = 64,
+    max_block_size: int | None = 200,
 ) -> "ray.data.Dataset":
     """BLOCKS(+payload) -> unique PAIRS(+payload_a/_b), id_a < id_b.
 
-    Two bucketed shuffles: (1) key-hash buckets for combinations, (2)
-    pair-hash buckets for the at-most-once contract (idempotent under task
-    retries)."""
+    Two bucketed shuffles: (1) key-hash buckets for combinations with the
+    hot-key cap applied in-bucket, (2) pair-hash buckets for the
+    at-most-once contract (idempotent under task retries)."""
     bucketed = blocks.map_batches(
         _add_bucket, fn_kwargs={"col": "block_key", "n_buckets": n_buckets},
         batch_format="pyarrow",
     )
     pairs = bucketed.groupby("bucket").map_groups(
-        _pairs_in_bucket, batch_format="pandas"
+        lambda g: _pairs_in_bucket(g, max_block_size), batch_format="pandas"
     )
 
     def add_pair_key(t: pa.Table) -> pa.Table:

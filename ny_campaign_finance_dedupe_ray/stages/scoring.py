@@ -108,7 +108,7 @@ def score_pairs(
     pairs: "ray.data.Dataset",
     model: Model | None = None,
     min_score: float | None = None,
-    batch_size: int = 8192,
+    batch_size: int = 2048,
     concurrency: int | tuple[int, int] = (1, 8),
 ) -> "ray.data.Dataset":
     """PAIRS(+payload) -> SCORES(id_a, id_b, score>threshold).

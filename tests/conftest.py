@@ -19,6 +19,9 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # NOTE: bench.py switches to ShuffleStrategy.HASH_SHUFFLE (2.5x faster at
+    # 32 cpus); under the 4-cpu test session the hash-shuffle aggregator
+    # actors starve the iterative pipelines, so tests keep the default.
     yield
     ray.shutdown()
 
