@@ -38,6 +38,22 @@ def _add_bucket(t: pa.Table, col: str, n_buckets: int) -> pa.Table:
     return t.append_column("bucket", pa.array(bucket))
 
 
+def _hash_block_key(t: pa.Table, n_buckets: int) -> pa.Table:
+    """Replace the block_key string with its 64-bit hash before the shuffle:
+    the sort/exchange then moves 8-byte ints instead of ~20-60 byte strings,
+    and the in-bucket grouping sorts ints (collision odds at 64 bits are
+    negligible against the pair-dedup backstop downstream)."""
+    col = t.column("block_key")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = hash64_str(col)
+    t = t.drop_columns(["block_key"])
+    t = t.append_column("block_key", pa.array(h.astype(np.int64)))
+    return t.append_column(
+        "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+    )
+
+
 def _pairs_in_bucket(g: pd.DataFrame, max_block_size: int | None) -> pd.DataFrame:
     """All rows of one key-hash bucket -> within-block pairs, fully
     vectorized: one numpy pass per distinct group SIZE (<= cap sizes), no
@@ -95,7 +111,7 @@ def candidate_pairs(
     hot-key cap applied in-bucket, (2) pair-hash buckets for the
     at-most-once contract (idempotent under task retries)."""
     bucketed = blocks.map_batches(
-        _add_bucket, fn_kwargs={"col": "block_key", "n_buckets": n_buckets},
+        _hash_block_key, fn_kwargs={"n_buckets": n_buckets},
         batch_format="pyarrow",
     )
     pairs = bucketed.groupby("bucket").map_groups(

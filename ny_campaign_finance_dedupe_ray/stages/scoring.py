@@ -73,6 +73,9 @@ class PairScorer:
         self.bias = float(model.bias)
         self.min_score = model.threshold if min_score is None else min_score
         self.con = duckdb.connect()
+        # the actor reserves num_cpus=1 — an unpinned duckdb would spawn one
+        # thread per host core and a 32-actor pool would run 32x32 threads
+        self.con.execute("SET threads TO 1")
         self.sql = feature_sql(model)
 
     def features(self, batch: pa.Table) -> np.ndarray:
