@@ -1,0 +1,79 @@
+"""Pair and record samplers.
+
+- random_pairs / random_pairs_match: uniform sampling of pair indices via
+  triangular-number inversion, the reference's closed form
+  (/root/reference/dedupe_extension/dedupe/dedupe/core.py:47-110), seeded.
+- stratified_sample: per-stratum fractional sampling (the
+  StratifiedShuffleSplit test-subset maker, data_load/get_samples.py:15-58)
+  as a groupby + seeded per-group sample.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def random_pairs(
+    n_records: int, sample_size: int, seed: int = 42
+) -> np.ndarray:
+    """(sample_size, 2) array of pair indices (i < j) sampled uniformly
+    WITHOUT enumerating the n*(n-1)/2 pair space (core.py:47-80)."""
+    n = n_records * (n_records - 1) // 2
+    if n_records < 2:
+        return np.empty((0, 2), dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    if sample_size >= n:
+        idx = np.arange(n, dtype=np.int64)
+    else:
+        idx = rng.choice(n, size=sample_size, replace=False).astype(np.int64)
+    b = 1 - 2 * n_records
+    x = np.trunc((-b - np.sqrt(b * b - 8 * idx.astype(np.float64))) / 2)
+    y = idx + x * (b + x + 2) / 2 + 1
+    return np.column_stack((x, y)).astype(np.int64)
+
+
+def random_pairs_match(
+    n_a: int, n_b: int, sample_size: int, seed: int = 42
+) -> np.ndarray:
+    """Uniform (i, j) pairs across two record sets (core.py:83-96)."""
+    n = n_a * n_b
+    if n == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    if sample_size >= n:
+        idx = np.arange(n, dtype=np.int64)
+    else:
+        idx = rng.choice(n, size=sample_size, replace=False).astype(np.int64)
+    return np.column_stack((idx // n_b, idx % n_b)).astype(np.int64)
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    strata_column: str,
+    frac: float,
+    seed: int = 42,
+    min_per_stratum: int = 1,
+) -> "ray.data.Dataset":
+    """Seeded fractional sample per stratum; deterministic given (seed,
+    stratum) regardless of partitioning."""
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        key = str(g[strata_column].iloc[0])
+        sub_seed = (seed + hash64_int(key)) % (2**32)
+        n = max(min_per_stratum, int(round(len(g) * frac)))
+        n = min(n, len(g))
+        return g.sort_values(list(g.columns)).sample(
+            n=n, random_state=np.random.RandomState(sub_seed)
+        )
+
+    return ds.groupby(strata_column).map_groups(take, batch_format="pandas")
+
+
+def hash64_int(s: str) -> int:
+    """Deterministic string hash (FNV-1a) — Python hash() is randomized."""
+    h = 14695981039346656037
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 1099511628211) % (1 << 64)
+    return h

@@ -132,3 +132,85 @@ def candidate_pairs(
         _dedup_bucket, batch_format="pandas"
     )
     return deduped.drop_columns(["pair_key"])
+
+
+def _link_pairs_in_bucket(
+    g: pd.DataFrame, max_block_size: int | None
+) -> pd.DataFrame:
+    """Record-link variant: within each block key, the cross product of
+    side-'a' rows x side-'b' rows (reference api.py:332-402 — two blocking
+    maps joined on key, no id ordering)."""
+    payload = [
+        c for c in g.columns
+        if c not in ("block_key", "record_id", "bucket", "side")
+    ]
+    cols = ["id_a", "id_b"] + [c + s for c in payload for s in ("_a", "_b")]
+    g = g.drop_duplicates(["block_key", "record_id", "side"])
+    outs = []
+    for _, sub in g.groupby("block_key", sort=False):
+        a = sub[sub["side"] == "a"]
+        b = sub[sub["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            continue
+        if max_block_size is not None and len(a) * len(b) > max_block_size ** 2:
+            continue
+        ia = np.repeat(np.arange(len(a)), len(b))
+        ib = np.tile(np.arange(len(b)), len(a))
+        rec = {
+            "id_a": a["record_id"].to_numpy()[ia],
+            "id_b": b["record_id"].to_numpy()[ib],
+        }
+        for c in payload:
+            rec[c + "_a"] = a[c].to_numpy()[ia]
+            rec[c + "_b"] = b[c].to_numpy()[ib]
+        outs.append(pd.DataFrame(rec))
+    if not outs:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    return pd.concat(outs, ignore_index=True)
+
+
+def candidate_pairs_link(
+    blocks_a: "ray.data.Dataset",
+    blocks_b: "ray.data.Dataset",
+    n_buckets: int = 64,
+    max_block_size: int | None = 200,
+) -> "ray.data.Dataset":
+    """Record linkage across two datasets: blocks from each side are tagged
+    and unioned; pairs are the per-key A x B cross product, deduplicated on
+    (id_a, id_b) — each pair at most once (api.py:197-205 contract)."""
+
+    def tag(side: str):
+        def _t(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array([side] * t.num_rows, pa.string())
+            )
+
+        return _t
+
+    unioned = blocks_a.map_batches(tag("a"), batch_format="pyarrow").union(
+        blocks_b.map_batches(tag("b"), batch_format="pyarrow")
+    )
+    bucketed = unioned.map_batches(
+        _hash_block_key, fn_kwargs={"n_buckets": n_buckets},
+        batch_format="pyarrow",
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: _link_pairs_in_bucket(g, max_block_size),
+        batch_format="pandas",
+    )
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pk = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()),
+            PAIR_SEP,
+        )
+        t = t.append_column("pair_key", pk)
+        return _add_bucket(t, "pair_key", n_buckets)
+
+    keyed = pairs.map_batches(add_pair_key, batch_format="pyarrow")
+    return keyed.groupby("bucket").map_groups(
+        _dedup_bucket, batch_format="pandas"
+    ).drop_columns(["pair_key"])

@@ -1,0 +1,77 @@
+"""Run-metrics stage: the ``match_runs`` telemetry row
+(/root/reference/data_load/pre_init_db.py:23-28, written at
+campaign_finance_dedupe.py:469-482) as a JSON manifest per run, computed
+with distributed aggregates (per-batch partial counts -> small groupby)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def cluster_run_metrics(
+    clusters: "ray.data.Dataset",
+    predicates: list[str] | None = None,
+    run_seconds: float | None = None,
+    settings_name: str | None = None,
+) -> dict:
+    """CLUSTERS -> the match_runs metric row: total_clusters, avg/biggest
+    cluster size, total records, record/cluster ratio."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column("cluster_id").value_counts()
+        return pa.table(
+            {"cluster_id": vc.field("values"), "partial": vc.field("counts")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        clusters.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()
+    )
+    n_clusters = int(len(sizes))
+    total = int(sizes["n"].sum()) if n_clusters else 0
+    return {
+        "predicates": predicates or [],
+        "total_clusters": n_clusters,
+        "avg_cluster_size": float(sizes["n"].mean()) if n_clusters else 0.0,
+        "biggest_cluster_size": int(sizes["n"].max()) if n_clusters else 0,
+        "total_records": total,
+        "record_cluster_ratio": (total / n_clusters) if n_clusters else 0.0,
+        "run_time_s": run_seconds,
+        "settings_file": settings_name,
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
+
+def top_clusters(clusters: "ray.data.Dataset", k: int = 10) -> pd.DataFrame:
+    """Biggest clusters (campaign_finance_dedupe.py:419-437)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column("cluster_id").value_counts()
+        return pa.table(
+            {"cluster_id": vc.field("values"), "partial": vc.field("counts")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        clusters.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Sum("partial", alias_name="cluster_size"))
+        .sort(["cluster_size", "cluster_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+
+def write_run_manifest(path: str, metrics: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(metrics, f, indent=2)
