@@ -165,8 +165,46 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(emb, threshold=0.4, n_planes=4, n_probes=4)
 
 
+def _q_orders_uuid(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import orders_uuid
+
+    return orders_uuid(sf_dir)
+
+
+def _q_priority_codes(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import priority_codes
+
+    return priority_codes(sf_dir)
+
+
+def _q_tumbling_window(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.windows import tumbling_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return tumbling_window(events, window_seconds=3600)
+
+
+def _q_session_window(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.windows import session_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return session_window(events, gap_seconds=1800)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "orders_uuid": _q_orders_uuid,
+        "priority_codes": _q_priority_codes,
+        "tumbling_window": _q_tumbling_window,
+        "session_window": _q_session_window,
         "dedupe_pages": _q_dedupe_pages,
         "exact_dedup": _q_exact_dedup,
         "minhash_clusters": _q_minhash_clusters,
@@ -188,6 +226,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_uuid": (
+            "SELECT o_orderkey, "
+            "o_orderkey || '-' || o_custkey || '-' || "
+            "strftime(o_orderdate, '%Y-%m-%d') AS uuid, "
+            "CAST(year(o_orderdate) AS BIGINT) AS e_year FROM orders"
+        ),
+        "priority_codes": (
+            "SELECT o_orderkey, CASE "
+            "WHEN o_orderpriority = '1-URGENT' THEN 'URG' "
+            "WHEN o_orderpriority = '2-HIGH' THEN 'HIGH' "
+            "WHEN o_orderpriority = '3-MEDIUM' THEN 'MED' "
+            "WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'NS' "
+            "WHEN o_orderpriority = '5-LOW' THEN 'LOW' "
+            "WHEN o_orderpriority IS NULL THEN 'NS' "
+            "ELSE 'UNK' END AS priority_code FROM orders"
+        ),
+        "tumbling_window": (
+            "SELECT user_id, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY user_id, window_id"
+        ),
+        "session_window": (
+            "WITH d AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, "
+            "CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - "
+            "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > 1800 THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "s AS (SELECT user_id, e, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY e ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(MIN(e) AS BIGINT) AS start_epoch, "
+            "CAST(MAX(e) AS BIGINT) AS end_epoch "
+            "FROM s GROUP BY user_id, session_id"
+        ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS canonical_id, "
             "CAST(COUNT(*) AS BIGINT) AS dup_count "

@@ -117,6 +117,64 @@ def _re_escape(s: str) -> str:
     return re.escape(s)
 
 
+# Contributor-type coder: the 13-branch CASE mapping
+# (init_postgres_db.py:122-147); NULL -> 'CORP', unknown -> 'UNK'.
+CONTRIBUTOR_TYPE_CODES: dict[str, str] = {
+    "Candidate/Canditate Spouse": "CAN",
+    "Individual": "IND",
+    "Unitemized": "UNITEM",
+    "Partnership, including LLPs": "PART",
+    "Candidate Family Member": "FAM",
+    "Political Committee": "PAC",
+    "Political Action Committee (PAC)": "PAC",
+    "Committee": "COM",
+    "Other": "OTHER",
+    "Sole Proprietorship": "CORP",
+    "Corporation": "CORP",
+}
+
+PERSON_TYPES = ("IND", "FAM")  # person flag source (init_postgres_db.py:487)
+
+
+def map_codes(
+    arr: pa.Array | pa.ChunkedArray,
+    mapping: dict[str, str],
+    null_code: str,
+    unknown_code: str,
+) -> pa.Array:
+    """Dictionary-style CASE mapping via index_in lookup (vectorized)."""
+    keys = pa.array(list(mapping.keys()), pa.string())
+    vals = list(mapping.values())
+    idx = pc.index_in(arr, value_set=keys)
+    # build result: unknown -> unknown_code, null input -> null_code
+    out = pc.if_else(
+        pc.is_valid(idx),
+        pc.take(pa.array(vals + [None], pa.string()), pc.fill_null(idx, len(vals))),
+        pa.scalar(unknown_code, pa.string()),
+    )
+    return pc.if_else(pc.is_null(arr), pa.scalar(null_code, pa.string()), out)
+
+
+def contributor_type_code(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return map_codes(arr, CONTRIBUTOR_TYPE_CODES, null_code="CORP", unknown_code="UNK")
+
+
+def person_flag(type_codes: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """type in {IND, FAM} -> 1 else 0 (init_postgres_db.py:487)."""
+    return pc.is_in(type_codes, value_set=pa.array(PERSON_TYPES)).cast(pa.int32())
+
+
+def parse_date(arr: pa.Array | pa.ChunkedArray, fmt: str = "%Y-%m-%d") -> pa.Array:
+    """TO_DATE(TRIM(x), fmt) (init_postgres_db.py:214-227)."""
+    return pc.strptime(pc.utf8_trim_whitespace(arr), format=fmt, unit="us")
+
+
+def build_uuid(*parts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """concat(part1, '-', part2, ...) (init_postgres_db.py:224)."""
+    casted = [pc.cast(p, pa.string()) for p in parts]
+    return pc.binary_join_element_wise(*casted, "-")
+
+
 # --- page-text field parsing (synthetic profile layout, FIXTURES.md §1) ---
 
 _FIELD_NAMES = ["name", "street", "city", "state", "zip"]

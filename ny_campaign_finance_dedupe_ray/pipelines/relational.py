@@ -193,6 +193,67 @@ def normalize_documents(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(norm, batch_format="pyarrow")
 
 
+PRIORITY_CODES = {
+    "1-URGENT": "URG",
+    "2-HIGH": "HIGH",
+    "3-MEDIUM": "MED",
+    "4-NOT SPECIFIED": "NS",
+    "5-LOW": "LOW",
+}
+
+
+def orders_uuid(sf_dir: str) -> "ray.data.Dataset":
+    """UUID builder + date handling over orders — the reference's
+    contribution-uuid projection (init_postgres_db.py:214-227 date parse,
+    :224 uuid concat)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        from ..functions.textnorm import build_uuid
+
+        datestr = pc.strftime(t.column("o_orderdate"), format="%Y-%m-%d")
+        uuid = build_uuid(t.column("o_orderkey"), t.column("o_custkey"), datestr)
+        year = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "uuid": uuid,
+                "e_year": year,
+            }
+        )
+
+    return orders.map_batches(project, batch_format="pyarrow")
+
+
+def priority_codes(sf_dir: str) -> "ray.data.Dataset":
+    """Dictionary-encoded CASE mapping over o_orderpriority — the
+    contributor-type coder shape (init_postgres_db.py:122-147) via
+    vectorized index_in lookup."""
+    from ..functions.textnorm import map_codes
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        codes = map_codes(
+            t.column("o_orderpriority").combine_chunks()
+            if isinstance(t.column("o_orderpriority"), pa.ChunkedArray)
+            else t.column("o_orderpriority"),
+            PRIORITY_CODES,
+            null_code="NS",
+            unknown_code="UNK",
+        )
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "priority_code": codes}
+        )
+
+    return orders.map_batches(project, batch_format="pyarrow")
+
+
 def gazette_top_orders(sf_dir: str, n_matches: int = 2) -> pd.DataFrame:
     """Gazetteer top-k shaped query: per customer, the top-n orders by
     amount (clustering.py:280-308 semantics over relational data)."""

@@ -1,0 +1,184 @@
+"""Windowed aggregates, type coder / date / uuid normalizers, index
+predicates, gazetteer, blocking learner."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ny_campaign_finance_dedupe_ray.functions import predicates as P
+from ny_campaign_finance_dedupe_ray.functions import textnorm as TN
+from ny_campaign_finance_dedupe_ray.stages import index_predicates as IP
+from ny_campaign_finance_dedupe_ray.stages import windows as W
+from ny_campaign_finance_dedupe_ray.state.learn_blocking import learn_blocking_rules
+
+
+def _events():
+    ts = [
+        "2024-01-01T00:00:00", "2024-01-01T00:10:00", "2024-01-01T01:30:00",
+        "2024-01-01T00:05:00", "2024-01-01T03:00:00",
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64(t, "us") for t in ts], pa.timestamp("us")
+                ),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+            }
+        )
+    )
+
+
+def test_tumbling_window():
+    out = (
+        W.tumbling_window(_events(), window_seconds=3600)
+        .to_pandas()
+        .sort_values(["user_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out["user_id"] == 1]
+    assert u1["n_events"].tolist() == [2, 1]
+    assert u1["sum_value"].tolist() == [3.0, 3.0]
+    u2 = out[out["user_id"] == 2]
+    assert u2["n_events"].tolist() == [1, 1]
+
+
+def test_session_window():
+    out = (
+        W.session_window(_events(), gap_seconds=1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out["user_id"] == 1]
+    # events at 0:00, 0:10 same session; 1:30 new session (gap 80min)
+    assert u1["n_events"].tolist() == [2, 1]
+    u2 = out[out["user_id"] == 2]
+    assert u2["n_events"].tolist() == [1, 1]
+
+
+def test_contributor_type_coder_and_person_flag():
+    arr = pa.array(
+        ["Individual", "Corporation", None, "Martian", "Candidate Family Member"]
+    )
+    codes = TN.contributor_type_code(arr)
+    assert codes.to_pylist() == ["IND", "CORP", "CORP", "UNK", "FAM"]
+    flags = TN.person_flag(codes)
+    assert flags.to_pylist() == [1, 0, 0, 0, 1]
+
+
+def test_parse_date_and_uuid():
+    d = TN.parse_date(pa.array([" 2024-03-01", "2024-12-31 "]))
+    assert str(d.type).startswith("timestamp")
+    u = TN.build_uuid(
+        pa.array(["A1", "B2"]), pa.array([7, 8], pa.int64()), pa.array(["x", "y"])
+    )
+    assert u.to_pylist() == ["A1-7-x", "B2-8-y"]
+
+
+def test_tfidf_index_and_canopy_blocks():
+    docs = {
+        "d1": "mary crane center north",
+        "d2": "mary crane league",
+        "d3": "acme widget factory",
+    }
+    idx = IP.TfIdfIndex(docs)
+    got = idx.search("mary crane", threshold=0.1)
+    assert "d1" in got and "d2" in got and "d3" not in got
+    assert idx.search("", 0.1) == []
+
+    records = rd.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(["d1", "d2", "d3"], pa.string()),
+                "name": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+    )
+    blocks = IP.tfidf_canopy_blocks(records, "name", threshold=0.3).to_pandas()
+    # d1 and d2 must share at least one tfidf center key
+    k1 = set(blocks[blocks["record_id"] == "d1"]["block_key"])
+    k2 = set(blocks[blocks["record_id"] == "d2"]["block_key"])
+    k3 = set(blocks[blocks["record_id"] == "d3"]["block_key"])
+    assert k1 & k2
+    assert not (k1 & k3)
+
+
+def test_levenshtein_within_blocks():
+    records = rd.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(["r1", "r2", "r3"], pa.string()),
+                "name": pa.array(["smith", "smyth", "jones"], pa.string()),
+            }
+        )
+    )
+    blocks = IP.levenshtein_within_blocks(records, "name", distance=1).to_pandas()
+    k1 = set(blocks[blocks["record_id"] == "r1"]["block_key"])
+    k2 = set(blocks[blocks["record_id"] == "r2"]["block_key"])
+    k3 = set(blocks[blocks["record_id"] == "r3"]["block_key"])
+    assert k1 & k2           # within distance 1
+    assert not (k1 & k3)
+
+
+def test_gazetteer_match():
+    from ny_campaign_finance_dedupe_ray.pipelines.gazetteer import Gazetteer
+    from ny_campaign_finance_dedupe_ray.stages.blocking import BlockingConfig
+
+    def recs(prefix, names):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "record_id": pa.array(
+                        [f"{prefix}{i}" for i in range(len(names))], pa.string()
+                    ),
+                    "name": pa.array(names, pa.string()),
+                    "street": pa.array(["1 main street"] * len(names), pa.string()),
+                    "city": pa.array(["albany"] * len(names), pa.string()),
+                    "state": pa.array(["ny"] * len(names), pa.string()),
+                    "zip": pa.array(["10001"] * len(names), pa.string()),
+                    "text_norm": pa.array(names, pa.string()),
+                }
+            )
+        )
+
+    cfg = BlockingConfig(
+        predicates=[P.StringPredicate(P.first_token, "name")], minhash_column=None
+    )
+    g = Gazetteer(cfg=cfg)
+    g.index(recs("c", ["mary smith", "robert jones", "alice wu"]))
+    out = g.match(recs("m", ["mary smyth", "robert jones"]), threshold=0.5).to_pandas()
+    got = dict(zip(out["id_a"], out["id_b"]))
+    assert got["m0"] == "c0" and got["m1"] == "c1"
+    # unindex removes a canonical record
+    g.unindex(["c0"])
+    out2 = g.match(recs("m", ["mary smyth"]), threshold=0.5).to_pandas()
+    assert len(out2) == 0
+
+
+def test_learn_blocking_rules():
+    records = {
+        "a1": {"name": "mary smith", "zip": "10001"},
+        "a2": {"name": "mary smith", "zip": "10001"},
+        "b1": {"name": "bob jones", "zip": "14201"},
+        "b2": {"name": "bob jones", "zip": "99999"},
+        "c1": {"name": "carol wu", "zip": "12180"},
+    }
+    match_pairs = [("a1", "a2"), ("b1", "b2")]
+    cands = [
+        P.StringPredicate(P.first_token, "name"),
+        P.FieldPredicate(P.whole_field, "zip"),
+    ]
+    rules = learn_blocking_rules(records, match_pairs, cands, recall=1.0)
+    # zip alone cannot cover (b1,b2); first-token-of-name covers both pairs
+    names = [repr(r) for r in rules]
+    assert any("first_token" in n for n in names)
+    # learned rules actually cover all match pairs
+    for a, b in match_pairs:
+        assert any(
+            set(r(records[a])) & set(r(records[b])) for r in rules
+        ), (a, b)
