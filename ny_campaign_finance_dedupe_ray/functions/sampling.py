@@ -71,6 +71,68 @@ def stratified_sample(
     return ds.groupby(strata_column).map_groups(take, batch_format="pandas")
 
 
+def blocked_sample_pairs(
+    records: dict,
+    predicates: list,
+    sample_size: int,
+    seed: int = 42,
+) -> set[tuple]:
+    """Blocked pair sampling: scan shuffled records per predicate; the first
+    two ids sharing a key form a sample pair; predicates that stop yielding
+    are retired and sampling stops when the growth rate collapses — the
+    reference's round-robin sampler
+    (/root/reference/dedupe_extension/dedupe/dedupe/sampling.py:11-97),
+    seeded instead of wall-clock random."""
+    rng = np.random.default_rng(seed)
+    ids = sorted(records)
+    sample: set[tuple] = set()
+    live = list(predicates)
+    previous = 0
+    while len(sample) < sample_size and live:
+        order = rng.permutation(len(ids))
+        per_pred = max(1, (sample_size - len(sample)) // len(live))
+        still_live = []
+        for pred in live:
+            block_dict: dict = {}
+            got = 0
+            start = int(rng.integers(0, len(ids)))  # rotate analogue
+            for k in range(len(ids)):
+                rid = ids[order[(start + k) % len(ids)]]
+                keys = pred(records[rid])
+                for key in keys:
+                    if key not in block_dict:
+                        block_dict[key] = rid
+                    else:
+                        a = block_dict.pop(key)
+                        pair = (a, rid) if a < rid else (rid, a)
+                        sample.add(pair)
+                        got += 1
+                        break
+                if got >= per_pred or len(sample) >= sample_size:
+                    break
+            if got:
+                still_live.append(pred)
+        growth = len(sample) - previous
+        if growth / max(sample_size - previous, 1) < 0.001:
+            break
+        previous = len(sample)
+        live = still_live
+    return sample
+
+
+def uncertain_pairs(
+    scores, n: int = 1
+):
+    """Active-learning query selection: the ``n`` pairs whose match score is
+    closest to 0.5 — the RLRLearner uncertainty ``pop()``
+    (/root/reference/dedupe_extension/dedupe/dedupe/labeler.py:87-168).
+    ``scores``: pandas DataFrame (id_a, id_b, score)."""
+    s = scores.copy()
+    s["uncertainty"] = (s["score"] - 0.5).abs()
+    s = s.sort_values(["uncertainty", "id_a", "id_b"]).head(n)
+    return list(zip(s["id_a"], s["id_b"]))
+
+
 def hash64_int(s: str) -> int:
     """Deterministic string hash (FNV-1a) — Python hash() is randomized."""
     h = 14695981039346656037
