@@ -72,11 +72,18 @@ def headline() -> dict:
     records = pages_to_records(pages).materialize()
     t_extract = time.time() - t0
 
+    import dataclasses
+
+    from ny_campaign_finance_dedupe_ray.stages.pairs import attach_payload
+
     cfg = doc_config()
     t0 = time.time()
-    blocks = block_records(records, cfg)
-    pairs = candidate_pairs(
+    blocks = block_records(records, dataclasses.replace(cfg, payload_columns=()))
+    slim = candidate_pairs(
         blocks, n_buckets=2 * NUM_CPUS, max_block_size=cfg.max_block_size
+    )
+    pairs = attach_payload(
+        slim, records, columns=("text_norm",), n_buckets=2 * NUM_CPUS
     ).materialize()
     t_pairs = time.time() - t0
     # stage boundary before scoring (the checkpoint boundary in the
@@ -179,16 +186,22 @@ def _scaling_prepare(pairs_dir: str, copies: int) -> None:
     from ny_campaign_finance_dedupe_ray.stages.blocking import block_records, doc_config
     from ny_campaign_finance_dedupe_ray.stages.pairs import candidate_pairs
 
+    import dataclasses
+
+    from ny_campaign_finance_dedupe_ray.stages.pairs import attach_payload
+
     _init_ray()
     pages = rd.from_arrow(
         synth.pages_from_documents(SF_DIR, copies=copies)
     ).repartition(max(NUM_CPUS, 8))
     cfg = doc_config()
-    pairs = candidate_pairs(
-        block_records(pages_to_records(pages), cfg),
+    records = pages_to_records(pages).materialize()
+    slim = candidate_pairs(
+        block_records(records, dataclasses.replace(cfg, payload_columns=())),
         n_buckets=2 * NUM_CPUS,
         max_block_size=cfg.max_block_size,
     )
+    pairs = attach_payload(slim, records, columns=("text_norm",), n_buckets=2 * NUM_CPUS)
     pairs.write_parquet(pairs_dir)
     import ray
 

@@ -45,9 +45,11 @@ def run_dedupe_checkpointed(
         input_fingerprint=input_fp,
     )
 
+    import dataclasses
+
     blocks_cp = StageCheckpoint(workdir, "blocks")
     blocks = blocks_cp.run(
-        lambda: block_records(records, cfg),
+        lambda: block_records(records, dataclasses.replace(cfg, payload_columns=())),
         params={"stage": "blocks", **cfg_params},
         input_fingerprint=records_cp.fingerprint(),
     )
@@ -55,9 +57,12 @@ def run_dedupe_checkpointed(
     scores_cp = StageCheckpoint(workdir, "scores")
 
     def make_scores() -> "ray.data.Dataset":
+        from ..stages.pairs import attach_payload
+
+        slim = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+        needed = tuple(dict.fromkeys(f.field for f in model.features))
         return score_pairs(
-            candidate_pairs(blocks, max_block_size=cfg.max_block_size),
-            model=model,
+            attach_payload(slim, records, columns=needed), model=model
         )
 
     scores = scores_cp.run(

@@ -16,7 +16,7 @@ from ..stages.blocking import BlockingConfig, block_records, default_config
 from ..stages.clustering import add_singletons, connected_components, hierarchical_clusters
 from ..stages.extract import extract_text
 from ..stages.normalize import normalize_records
-from ..stages.pairs import candidate_pairs
+from ..stages.pairs import attach_payload, candidate_pairs
 from ..stages.scoring import score_pairs
 from ..state.model import Model
 
@@ -31,16 +31,29 @@ def records_to_scores(
     model: Model | None = None,
     scorer_concurrency=(1, 8),
 ) -> "ray.data.Dataset":
+    import dataclasses
+
+    from ..state.model import default_model
+
     cfg = cfg or default_config()
+    model = model or default_model()
     # Fully streaming: blocking flat-map -> bucketed pair generation.  The
     # hot-key cap (stop-word analogue) is applied inside the pair-gen bucket
     # tasks — every row of a block key hashes to the same bucket, so the
     # per-key counts there are globally exact and no separate counting
-    # shuffle or blocks materialization is needed.  The standalone
-    # hot_keys()/drop_hot_keys() pass remains available for multi-consumer
-    # pipelines that reuse the blocks table.
-    blocks = block_records(records, cfg)
-    pairs = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+    # shuffle or blocks materialization is needed.
+    #
+    # Pairs run SLIM (ids only) through dedup: a duplicate pair is emitted
+    # once per shared block key, so carrying payload through the dedup
+    # shuffle multiplies it by the key-duplication factor (16x for LSH
+    # bands on near-identical documents; measured 45s -> 8s at 411k pairs).
+    # The scorer's feature fields are attached afterwards by a bucketed
+    # groupby join against the records table.
+    slim_cfg = dataclasses.replace(cfg, payload_columns=())
+    blocks = block_records(records, slim_cfg)
+    slim = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+    needed = tuple(dict.fromkeys(f.field for f in model.features))
+    pairs = attach_payload(slim, records, columns=needed)
     return score_pairs(pairs, model=model, concurrency=scorer_concurrency)
 
 

@@ -134,6 +134,106 @@ def candidate_pairs(
     return deduped.drop_columns(["pair_key"])
 
 
+def attach_payload(
+    pairs: "ray.data.Dataset",
+    records: "ray.data.Dataset",
+    columns: tuple[str, ...],
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Join payload columns onto slim (id_a, id_b) pairs via two bucketed
+    groupbys (record side, then pair side) — no broadcast, both sides can
+    be arbitrarily large.
+
+    Use with payload-free blocking when keys-per-record x payload-bytes is
+    large: a duplicate pair is emitted once per shared block key, so
+    carrying payload through the pair-dedup shuffle multiplies it by the
+    duplication factor (16 LSH bands of near-identical documents => 16x).
+    Slim rows through dedup + this join move ~6x fewer bytes."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = t.column("id_a").cast(pa.string())
+        b = t.column("id_b").cast(pa.string())
+        pk = pc.binary_join_element_wise(a, b, PAIR_SEP)
+        if isinstance(pk, pa.ChunkedArray):
+            pk = pk.combine_chunks()
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        n = t.num_rows
+        cols = {
+            "record_id": pa.concat_arrays([a, b]),
+            "pair_key": pa.concat_arrays([pk, pk]),
+            "side": pa.array(["a"] * n + ["b"] * n, pa.string()),
+        }
+        for c in columns:
+            cols[c] = pa.array([None] * (2 * n), pa.string())
+        return pa.table(cols)
+
+    def tag_records(t: pa.Table) -> pa.Table:
+        cols = {
+            "record_id": t.column("record_id").cast(pa.string()),
+            "pair_key": pa.array([None] * t.num_rows, pa.string()),
+            "side": pa.array([None] * t.num_rows, pa.string()),
+        }
+        for c in columns:
+            cols[c] = t.column(c).cast(pa.string())
+        return pa.table(cols)
+
+    def bucket(t: pa.Table, col: str) -> pa.Table:
+        c = t.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        h = hash64_str(c)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    unioned = (
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .union(records.map_batches(tag_records, batch_format="pyarrow"))
+        .map_batches(lambda t: bucket(t, "record_id"), batch_format="pyarrow")
+    )
+
+    def send_payload(g: pd.DataFrame) -> pd.DataFrame:
+        payload = g[g["pair_key"].isna()].drop_duplicates("record_id")
+        requests = g[g["pair_key"].notna()][["record_id", "pair_key", "side"]]
+        out = requests.merge(
+            payload[["record_id", *columns]], on="record_id", how="left"
+        )
+        return out[["pair_key", "side", *columns]]
+
+    routed = unioned.groupby("bucket").map_groups(
+        send_payload, batch_format="pandas"
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b"] + [c + s for c in columns for s in ("_a", "_b")]
+        a = (
+            g[g["side"] == "a"].drop_duplicates("pair_key")
+            .set_index("pair_key")[list(columns)].add_suffix("_a")
+        )
+        b = (
+            g[g["side"] == "b"].drop_duplicates("pair_key")
+            .set_index("pair_key")[list(columns)].add_suffix("_b")
+        )
+        out = a.join(b, how="outer").reset_index()
+        if out.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        ids = out["pair_key"].str.split(PAIR_SEP, n=1, expand=True)
+        out["id_a"] = ids[0]
+        out["id_b"] = ids[1]
+        return out[cols]
+
+    return (
+        routed.map_batches(lambda t: bucket(t, "pair_key"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
 def _link_pairs_in_bucket(
     g: pd.DataFrame, max_block_size: int | None
 ) -> pd.DataFrame:
