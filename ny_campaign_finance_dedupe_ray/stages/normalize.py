@@ -34,3 +34,28 @@ def normalize_records(
     return pages_extracted.map_batches(
         _normalize_batch, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def filter_person_records(
+    records: "ray.data.Dataset",
+    person: bool = True,
+    person_column: str = "person",
+    name_column: str = "name",
+    exclude_substring: str = "unitem",
+) -> "ray.data.Dataset":
+    """The matching-input row filter: ``person = 1`` (or ``!= 1``) AND
+    ``name NOT LIKE '%unitem%'``
+    (/root/reference/dedupe_extension/campaign_finance_dedupe.py:154-159),
+    vectorized as an Arrow mask inside map_batches."""
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        flag = t.column(person_column)
+        mask = pc.equal(flag, 1) if person else pc.not_equal(flag, 1)
+        name = pc.coalesce(t.column(name_column), "")
+        mask = pc.and_(
+            mask, pc.invert(pc.match_substring(name, exclude_substring))
+        )
+        return t.filter(mask)
+
+    return records.map_batches(keep, batch_format="pyarrow")

@@ -71,6 +71,35 @@ def test_contributor_type_coder_and_person_flag():
     assert flags.to_pylist() == [1, 0, 0, 0, 1]
 
 
+def test_filter_person_records_and_name_coalesce():
+    from ny_campaign_finance_dedupe_ray.stages.normalize import filter_person_records
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(["r1", "r2", "r3", "r4"], pa.string()),
+                "name": pa.array(
+                    ["mary smith", "acme corp", "unitemized donations", None],
+                    pa.string(),
+                ),
+                "person": pa.array([1, 0, 1, 1], pa.int32()),
+            }
+        )
+    )
+    out = filter_person_records(ds, person=True).to_pandas()
+    assert sorted(out["record_id"]) == ["r1", "r4"]  # r2 not person, r3 unitem
+    out2 = filter_person_records(ds, person=False).to_pandas()
+    assert out2["record_id"].tolist() == ["r2"]
+
+    nc = TN.name_coalesce(
+        pa.array(["ACME Corp", "Bravo Inc"]),
+        pa.array(["Mary", None]),
+        pa.array([None, None], pa.string()),
+        pa.array(["Smith", None]),
+    )
+    assert nc.to_pylist() == ["mary smith", "bravo inc"]
+
+
 def test_parse_date_and_uuid():
     d = TN.parse_date(pa.array([" 2024-03-01", "2024-12-31 "]))
     assert str(d.type).startswith("timestamp")
