@@ -129,53 +129,83 @@ def connected_components_driver(
 # distributed min-label propagation (scale path)
 # --------------------------------------------------------------------------
 
+def _node_bucket(t: pa.Table, col: str, n_buckets: int) -> pa.Table:
+    c = t.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    h = hash64_str(c.cast(pa.string()))
+    return t.append_column(
+        "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+    )
+
+
 def connected_components_distributed(
     scores: "ray.data.Dataset",
     max_iter: int = 25,
+    max_components: int = 30000,
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Iterative hash-partitioned min-label propagation (SURVEY.md §7.6).
 
-    Each round: union(label rows, edge rows) -> groupby(node) ->
-    emit min label to self and neighbors -> groupby(node).min.  Converges in
-    O(component diameter) rounds; near-dup components are shallow.  Early
-    exit via a global label-fingerprint aggregate (sum of hash64(node|label))
-    — two equal consecutive fingerprints => fixpoint.
-
-    Scale notes: every round is two shuffles keyed on node id; no
-    driver-side materialization.  The final (node, label) table is joined
-    back to edges by another groupby round, then components equal labels.
+    Each round is two bucketed shuffles with fully vectorized pandas merges
+    inside the bucket tasks (never per-node dispatch):
+      (1) labels ⨝ adjacency on node -> label messages to neighbors,
+      (2) per-node min over messages -> new labels.
+    Converges in O(component diameter) rounds (near-dup components are
+    shallow); early exit via a global label fingerprint (sum of
+    hash64(node|label) mod 2^63 — two equal consecutive fingerprints =>
+    fixpoint).  No driver-side materialization of edges or labels.
     """
-    from ray.data.aggregate import Min, Sum
-
-    edges = scores.select_columns(["id_a", "id_b"])
+    from ray.data.aggregate import Sum
 
     def edge_msgs(t: pa.Table) -> pa.Table:
-        a = t.column("id_a")
-        b = t.column("id_b")
+        a = t.column("id_a").cast(pa.string())
+        b = t.column("id_b").cast(pa.string())
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
         return pa.table(
             {
-                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+                "node": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
             }
         )
 
-    adj = edges.map_batches(edge_msgs, batch_format="pyarrow")
-    # initial labels: own id
-    labels = adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
-    labels = labels.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t.column("node"),
-                "label": pa.compute.min_element_wise(
-                    t.column("node"), t.column("label")
-                ),
-            }
-        ),
-        batch_format="pyarrow",
+    adj = (
+        scores.select_columns(["id_a", "id_b"])
+        .map_batches(edge_msgs, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _node_bucket(t, "node", n_buckets), batch_format="pyarrow"
+        )
+        .materialize()  # reused every round
     )
+
+    # initial labels: min(self, neighbors) per node, vectorized per bucket
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node")["nbr"].min().reset_index(name="label")
+        m["label"] = np.minimum(m["node"], m["label"])
+        return m
+
+    labels = adj.groupby("bucket").map_groups(init_labels, batch_format="pandas")
+
+    def fingerprint_batch(t: pa.Table) -> pa.Table:
+        joined = pa.compute.binary_join_element_wise(
+            t.column("node"), t.column("label"), "|"
+        )
+        h = hash64_str(joined)
+        # small modulus: the per-batch partials are later Sum-aggregated,
+        # so each must leave headroom in int64 for thousands of batches
+        fp = int(h.sum(dtype=np.uint64) % np.uint64(1 << 40))
+        return pa.table({"fp": pa.array([fp], pa.int64())})
+
+    def global_fp(lab: "ray.data.Dataset") -> int:
+        return lab.map_batches(fingerprint_batch, batch_format="pyarrow").aggregate(
+            Sum("fp", alias_name="fp")
+        )["fp"]
+
     prev_fp = None
     for _ in range(max_iter):
-        # message pass: nodes send their label to neighbors
         lab_tagged = labels.map_batches(
             lambda t: pa.table(
                 {
@@ -185,45 +215,55 @@ def connected_components_distributed(
                 }
             ),
             batch_format="pyarrow",
+        ).map_batches(
+            lambda t: _node_bucket(t, "node", n_buckets), batch_format="pyarrow"
         )
-        adj_tagged = adj.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t.column("node"),
-                    "nbr": t.column("nbr"),
-                    "label": pa.array([None] * t.num_rows, pa.string()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        unioned = lab_tagged.union(adj_tagged)
 
         def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            own = g["label"].dropna()
-            lab = own.min() if len(own) else g["node"].iloc[0]
-            nbrs = g["nbr"].dropna().tolist()
-            nodes = [g["node"].iloc[0]] + nbrs
-            return pd.DataFrame({"node": nodes, "label": [lab] * len(nodes)})
+            lab = g[g["nbr"].isna()][["node", "label"]].drop_duplicates("node")
+            edges_ = g[g["nbr"].notna()][["node", "nbr"]]
+            sent = edges_.merge(lab, on="node", how="left")
+            sent["label"] = sent["label"].fillna(sent["node"])
+            msgs = sent[["nbr", "label"]].rename(columns={"nbr": "node"})
+            return pd.concat([lab, msgs], ignore_index=True)
 
-        msgs = unioned.groupby("node").map_groups(propagate, batch_format="pandas")
-        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
-
-        def fingerprint(t: pa.Table) -> pa.Table:
-            joined = pa.compute.binary_join_element_wise(
-                t.column("node"), t.column("label"), "|"
+        msgs = (
+            lab_tagged.union(
+                adj.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": t.column("node"),
+                            "nbr": t.column("nbr"),
+                            "label": pa.array([None] * t.num_rows, pa.string()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).map_batches(
+                    lambda t: _node_bucket(t, "node", n_buckets),
+                    batch_format="pyarrow",
+                )
             )
-            h = hash64_str(joined).astype(np.int64)
-            return pa.table({"fp": pa.array([int(h.sum())], pa.int64())})
+            .groupby("bucket")
+            .map_groups(propagate, batch_format="pandas")
+        )
 
-        fp = (
-            labels.map_batches(fingerprint, batch_format="pyarrow")
-            .aggregate(Sum("fp", alias_name="fp"))
-        )["fp"]
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node")["label"].min().reset_index(name="label")
+
+        labels = (
+            msgs.map_batches(
+                lambda t: _node_bucket(t, "node", n_buckets), batch_format="pyarrow"
+            )
+            .groupby("bucket")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        fp = global_fp(labels)
         if prev_fp is not None and fp == prev_fp:
             break
         prev_fp = fp
 
-    # attach labels to edges: groupby(node) join of labels and (node, edge) rows
+    # attach labels to edges: bucketed merge on id_a's node
     lab_rows = labels.map_batches(
         lambda t: pa.table(
             {
@@ -239,9 +279,9 @@ def connected_components_distributed(
     edge_rows = scores.map_batches(
         lambda t: pa.table(
             {
-                "node": t.column("id_a"),
-                "id_a": t.column("id_a"),
-                "id_b": t.column("id_b"),
+                "node": t.column("id_a").cast(pa.string()),
+                "id_a": t.column("id_a").cast(pa.string()),
+                "id_b": t.column("id_b").cast(pa.string()),
                 "score": t.column("score").cast(pa.float32()),
                 "label": pa.array([None] * t.num_rows, pa.string()),
             }
@@ -250,38 +290,72 @@ def connected_components_distributed(
     )
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g["label"].dropna()
-        label = lab.iloc[0] if len(lab) else g["node"].iloc[0]
-        e = g[g["id_a"].notna()]
-        if e.empty:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "score": [], "component": []}
-            )
-        return pd.DataFrame(
-            {
-                "id_a": e["id_a"],
-                "id_b": e["id_b"],
-                "score": e["score"],
-                "component": [label] * len(e),
-            }
-        )
+        lab = g[g["label"].notna()][["node", "label"]].drop_duplicates("node")
+        e = g[g["id_a"].notna()][["node", "id_a", "id_b", "score"]]
+        out = e.merge(lab, on="node", how="left")
+        out["label"] = out["label"].fillna(out["node"])
+        return out.rename(columns={"label": "component"})[
+            ["id_a", "id_b", "score", "component"]
+        ]
 
-    return (
+    labeled = (
         lab_rows.union(edge_rows)
-        .groupby("node")
+        .map_batches(
+            lambda t: _node_bucket(t, "node", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
         .map_groups(attach, batch_format="pandas")
     )
+
+    # oversized-component refilter (clustering.py:74-98): component edges
+    # are colocated by hash-bucketing on the label, then the same recursive
+    # union-find + refilter as the driver path runs per bucket (it
+    # re-derives the per-component structure itself; labels are node ids,
+    # globally unique, so no cross-bucket collisions)
+    def bucket(t: pa.Table) -> pa.Table:
+        c = t.column("component")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        h = hash64_str(c.cast(pa.string()))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def refilter(g: pd.DataFrame) -> pd.DataFrame:
+        out = _refilter_components(
+            g.drop(columns=["component", "bucket"]), max_components
+        )
+        out["component"] = out["component"].astype(str)
+        return out
+
+    return (
+        labeled.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(refilter, batch_format="pandas")
+    )
+
+
+DRIVER_CC_EDGE_LIMIT = 20_000_000  # ~1 GB of (id_a, id_b, score) rows
 
 
 def connected_components(
     scores: "ray.data.Dataset",
     max_components: int = 30000,
-    mode: str = "driver",
+    mode: str = "auto",
 ) -> "ray.data.Dataset":
-    """SCORES -> edges labeled with 'component'."""
+    """SCORES -> edges labeled with 'component'.
+
+    mode='auto' collects the edge list to the driver union-find while it is
+    small (edges are tens of bytes each; the match-edge set is orders of
+    magnitude smaller than the corpus) and switches to the distributed
+    min-label propagation above the limit."""
+    if mode == "auto":
+        mode = (
+            "driver" if scores.count() <= DRIVER_CC_EDGE_LIMIT else "distributed"
+        )
     if mode == "driver":
         return connected_components_driver(scores, max_components)
-    return connected_components_distributed(scores)
+    return connected_components_distributed(scores, max_components=max_components)
 
 
 # --------------------------------------------------------------------------
@@ -306,13 +380,13 @@ def _cluster_component(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
             {"record_id": [], "cluster_id": [], "cluster_score": []}
         )
 
-    nodes = np.unique(np.concatenate([g["id_a"].to_numpy(), g["id_b"].to_numpy()]))
+    both = np.concatenate([g["id_a"].to_numpy(), g["id_b"].to_numpy()])
+    nodes, inv = np.unique(both, return_inverse=True)
     N = len(nodes)
-    idx = {n: i for i, n in enumerate(nodes)}
     D = np.ones((N, N), dtype=np.float64)  # unscored pairs -> distance 1
     np.fill_diagonal(D, 0.0)
-    ia = g["id_a"].map(idx).to_numpy()
-    ib = g["id_b"].map(idx).to_numpy()
+    ia = inv[: len(g)]
+    ib = inv[len(g):]
     d = 1.0 - g["score"].to_numpy(dtype=np.float64)
     D[ia, ib] = d
     D[ib, ia] = d
