@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) — invariants beyond the reference's
+example-based suite: predicates are total, hashing approximates set
+similarity, union-find agrees with a naive reachability oracle, affine gap
+is symmetric, pair generation respects its contract on random inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from ny_campaign_finance_dedupe_ray.functions import hashing as H
+from ny_campaign_finance_dedupe_ray.functions import predicates as P
+from ny_campaign_finance_dedupe_ray.functions.affinegap import (
+    normalized_affine_gap_distance,
+)
+from ny_campaign_finance_dedupe_ray.stages.clustering import UnionFind
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=60
+)
+
+STRING_PREDICATES = [
+    P.whole_field, P.token_field, P.first_token, P.common_integer,
+    P.alpha_numeric, P.near_integers, P.hundred_integer,
+    P.hundred_integer_odd, P.first_integer, P.common_two_tokens,
+    P.common_three_tokens, P.fingerprint, P.one_gram_fingerprint,
+    P.two_gram_fingerprint, P.common_four_gram, P.common_six_gram,
+    P.same_three_char_start, P.same_five_char_start,
+    P.same_seven_char_start, P.sorted_acronym,
+]
+
+
+@given(TEXT)
+@settings(max_examples=120, deadline=None)
+def test_predicates_total_and_string_valued(text):
+    """Every predicate returns an iterable of strings for any input text."""
+    for fn in STRING_PREDICATES:
+        out = fn(text)
+        assert all(isinstance(k, str) for k in out), fn.__name__
+    for k in P.suffix_array(text):
+        assert isinstance(k, str) and len(k) >= 5
+
+
+@given(TEXT, TEXT)
+@settings(max_examples=60, deadline=None)
+def test_affine_gap_symmetric_nonnegative(a, b):
+    if len(a) + len(b) == 0:
+        return
+    d1 = normalized_affine_gap_distance(a, b)
+    d2 = normalized_affine_gap_distance(b, a)
+    assert abs(d1 - d2) < 1e-6
+    assert d1 >= 0
+
+
+@given(st.text(alphabet="abcdef ", min_size=10, max_size=80),
+       st.text(alphabet="abcdef ", min_size=10, max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_minhash_estimates_jaccard(a, b):
+    """Minhash signature agreement must be within 0.35 of true shingle
+    jaccard (128 perms => se ~ 0.044; 8 sigma headroom)."""
+    texts = pa.array([a, b], pa.string())
+    h, s = H.shingle_hashes(texts, k=3)
+    if s[1] - s[0] == 0 or s[2] - s[1] == 0:
+        return
+    sigs = H.minhash(h, s, n_perm=128)
+    est = float((sigs[0] == sigs[1]).mean())
+    true = H.jaccard_shingles(a, b, k=3)
+    assert abs(est - true) <= 0.35
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_union_find_matches_reachability(edges):
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    # naive reachability oracle
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def component(x):
+        seen = {x}
+        stack = [x]
+        while stack:
+            cur = stack.pop()
+            for nxt in adj.get(cur, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        return frozenset(seen)
+
+    for a, b in edges:
+        assert (uf.find(a) == uf.find(b)) == (b in component(a))
+
+
+@given(st.integers(2, 200), st.integers(1, 300), st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_random_pairs_in_triangle(n, size, seed):
+    from ny_campaign_finance_dedupe_ray.functions.sampling import random_pairs
+
+    p = random_pairs(n, size, seed=seed)
+    assert (p[:, 0] < p[:, 1]).all()
+    assert p.min(initial=0) >= 0 and p.max(initial=0) < n
+    assert len(set(map(tuple, p.tolist()))) == len(p)  # without replacement
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_double_metaphone_total(text):
+    from ny_campaign_finance_dedupe_ray.functions.phonetic import doublemetaphone
+
+    p, s = doublemetaphone(text)
+    assert isinstance(p, str) and isinstance(s, str)
+    assert len(p) <= 4 and len(s) <= 4
