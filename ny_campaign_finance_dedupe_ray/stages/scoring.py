@@ -48,8 +48,13 @@ _SQL_TEMPLATES = {
 
 
 def feature_sql(model: Model) -> str:
+    """SQL for the duckdb-computable features; interaction/custom features
+    are computed afterwards in numpy/python (datamodel.py:74-115 derived
+    columns)."""
     exprs = []
     for f in model.features:
+        if f.kind in ("interaction", "custom"):
+            continue
         tpl = _SQL_TEMPLATES[f.kind]
         exprs.append(
             tpl.format(a=f'"{f.field}_a"', b=f'"{f.field}_b"')
@@ -63,12 +68,19 @@ class PairScorer:
     feature matrix -> logistic score; emits pairs with score > min_score."""
 
     def __init__(self, model: Model | None = None, model_path: str | None = None,
-                 min_score: float | None = None):
+                 min_score: float | None = None, custom_fns: dict | None = None):
         import duckdb
+
+        from ..state.model import CUSTOM_COMPARATORS
 
         if model is None:
             model = Model.load(model_path) if model_path else default_model()
         self.model = model
+        # custom comparators: registry snapshot at actor build time, plus
+        # explicitly passed functions (cloudpickled into the actor — a
+        # driver-side register_comparator() call after actor start would
+        # not be visible here)
+        self.custom_fns = {**CUSTOM_COMPARATORS, **(custom_fns or {})}
         self.weights = np.asarray(model.weights, dtype=np.float64)
         self.bias = float(model.bias)
         self.min_score = model.threshold if min_score is None else min_score
@@ -82,8 +94,28 @@ class PairScorer:
         self.con.register("batch_tbl", batch)
         out = self.con.execute(self.sql).fetch_arrow_table()
         self.con.unregister("batch_tbl")
+        base: dict[str, np.ndarray] = {
+            f.name: out.column(f.name).to_numpy(zero_copy_only=False)
+            for f in self.model.features
+            if f.kind not in ("interaction", "custom")
+        }
+        # derived columns (datamodel.py:74-115): custom comparators per
+        # pair, then interactions as products of named features (NaN -> 0
+        # before multiplying, matching the reference's Interaction rule)
+        for f in self.model.features:
+            if f.kind == "custom":
+                fn = self.custom_fns[f.name]
+                va = batch.column(f"{f.field}_a").to_pylist()
+                vb = batch.column(f"{f.field}_b").to_pylist()
+                base[f.name] = np.array(
+                    [float(fn(a, b)) for a, b in zip(va, vb)]
+                )
+        for f in self.model.features:
+            if f.kind == "interaction":
+                f1, f2 = f.field.split("*", 1)
+                base[f.name] = np.nan_to_num(base[f1]) * np.nan_to_num(base[f2])
         return np.column_stack(
-            [out.column(f.name).to_numpy(zero_copy_only=False) for f in self.model.features]
+            [np.nan_to_num(base[f.name]) for f in self.model.features]
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -113,6 +145,7 @@ def score_pairs(
     min_score: float | None = None,
     batch_size: int = 2048,
     concurrency: int | tuple[int, int] = (1, 8),
+    custom_fns: dict | None = None,
 ) -> "ray.data.Dataset":
     """PAIRS(+payload) -> SCORES(id_a, id_b, score>threshold).
 
@@ -120,7 +153,11 @@ def score_pairs(
     blocking/pair stages upstream while still soaking idle CPUs."""
     return pairs.map_batches(
         PairScorer,
-        fn_constructor_kwargs={"model": model, "min_score": min_score},
+        fn_constructor_kwargs={
+            "model": model,
+            "min_score": min_score,
+            "custom_fns": custom_fns,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

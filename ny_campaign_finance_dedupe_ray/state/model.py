@@ -29,7 +29,22 @@ FEATURE_KINDS = (
     "exact",             # fa == fb
     "prefix4",           # first-4-chars equality
     "not_missing",       # both present dummy
+    "interaction",       # product of two other features (Interaction
+                         # variable, variables/interaction.py:5-61);
+                         # field = "feat1*feat2"
+    "custom",            # registered python comparator (variables/base.py:
+                         # 75-91); field = column, name must be registered
 )
+
+# registry for "custom" comparator functions: name -> f(a, b) -> float
+CUSTOM_COMPARATORS: dict = {}
+
+
+def register_comparator(name: str, fn) -> None:
+    """Register a Custom-variable comparator (reference variables/base.py:
+    75-91).  The function receives the two field values (possibly None) and
+    returns a float; it runs per pair in the scorer's slow path."""
+    CUSTOM_COMPARATORS[name] = fn
 
 
 @dataclass
@@ -41,6 +56,8 @@ class Feature:
     def __post_init__(self):
         if self.kind not in FEATURE_KINDS:
             raise ValueError(f"unknown feature kind {self.kind!r}")
+        if self.kind == "interaction" and "*" not in self.field:
+            raise ValueError("interaction field must be 'feat1*feat2'")
 
 
 @dataclass
