@@ -81,8 +81,13 @@ def minhash_band_table(
     k: int = 5,
     n_perm: int = 128,
     n_bands: int = 16,
+    carry_text: bool = True,
 ) -> "ray.data.Dataset":
-    """(band_key, id, text) rows — the stateless LSH flat-map."""
+    """(band_key, id[, text]) rows — the stateless LSH flat-map.
+
+    ``carry_text=False`` keeps the shuffle slim (ids only); the jaccard
+    verifier then attaches text by a bucketed join (the payload-amplification
+    rule: a duplicate pair is emitted once per shared band)."""
 
     def emit(t: pa.Table) -> pa.Table:
         col = t.column(text_column)
@@ -92,13 +97,13 @@ def minhash_band_table(
         sigs = H.minhash(h, splits, n_perm=n_perm)
         rows, keys = H.lsh_band_keys(sigs, n_bands=n_bands)
         idx = pa.array(rows)
-        return pa.table(
-            {
-                "band_key": pa.array([str(x) for x in keys], pa.string()),
-                "id": t.column(id_column).take(idx),
-                "text": col.take(idx),
-            }
-        )
+        cols = {
+            "band_key": pa.array([str(x) for x in keys], pa.string()),
+            "id": t.column(id_column).take(idx),
+        }
+        if carry_text:
+            cols["text"] = col.take(idx)
+        return pa.table(cols)
 
     return ds.map_batches(emit, batch_format="pyarrow")
 
@@ -123,6 +128,8 @@ def lsh_candidate_pairs(
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        payload = [c for c in g.columns if c not in ("band_key", "id", "bucket")]
+        cols = ["id_a", "id_b"] + [c + s for c in payload for s in ("_a", "_b")]
         outs = []
         for _, sub in g.groupby("band_key", sort=False):
             sub = sub.drop_duplicates("id")
@@ -131,22 +138,18 @@ def lsh_candidate_pairs(
                 continue
             sub = sub.sort_values("id")
             ia, ib = np.triu_indices(n, k=1)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "id_a": sub["id"].to_numpy()[ia],
-                        "id_b": sub["id"].to_numpy()[ib],
-                        "text_a": sub["text"].to_numpy()[ia],
-                        "text_b": sub["text"].to_numpy()[ib],
-                    }
-                )
-            )
+            rec = {
+                "id_a": sub["id"].to_numpy()[ia],
+                "id_b": sub["id"].to_numpy()[ib],
+            }
+            for c in payload:
+                v = sub[c].to_numpy()
+                rec[c + "_a"] = v[ia]
+                rec[c + "_b"] = v[ib]
+            outs.append(pd.DataFrame(rec))
         if not outs:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=object) for c in ("id_a", "id_b", "text_a", "text_b")}
-            )
-        out = pd.concat(outs, ignore_index=True)
-        return out
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.concat(outs, ignore_index=True)
 
     pairs = (
         bands.map_batches(add_bucket, batch_format="pyarrow")
@@ -226,23 +229,65 @@ def minhash_lsh_clusters(
     n_perm: int = 128,
     n_bands: int = 16,
     jaccard_threshold: float = 0.8,
+    payload_mode: str = "carry",
 ) -> "ray.data.Dataset":
     """Full near-dup pipeline: LSH bands -> candidate pairs -> exact jaccard
     verify -> connected components.  Output: (id, cluster_id) for every
-    input row (cluster_id = min member id; singletons map to themselves)."""
-    bands = minhash_band_table(
-        ds, text_column=text_column, id_column=id_column,
-        k=k, n_perm=n_perm, n_bands=n_bands,
-    )
-    cands = lsh_candidate_pairs(bands)
+    input row (cluster_id = min member id; singletons map to themselves).
+
+    payload_mode:
+      'carry' (default) — text rides through the band shuffle; right for
+        dup-SPARSE corpora (typical web dedup: few band collisions, so no
+        payload amplification and no extra join shuffles);
+      'join' — ids-only bands + a bucketed payload join before verify;
+        right for dup-DENSE corpora where a duplicate pair is re-emitted
+        once per shared band (the flagship's slim-pairs rule)."""
+    if payload_mode == "carry":
+        bands = minhash_band_table(
+            ds, text_column=text_column, id_column=id_column,
+            k=k, n_perm=n_perm, n_bands=n_bands, carry_text=True,
+        )
+        cands = lsh_candidate_pairs(bands)
+    else:
+        from .pairs import attach_payload
+
+        bands = minhash_band_table(
+            ds, text_column=text_column, id_column=id_column,
+            k=k, n_perm=n_perm, n_bands=n_bands, carry_text=False,
+        )
+        cands_slim = lsh_candidate_pairs(bands)
+        recs = ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "record_id": t.column(id_column).cast(pa.string()),
+                    "text": t.column(text_column).cast(pa.string()).fill_null(""),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cands = attach_payload(
+            cands_slim.map_batches(
+                lambda t: pa.table(
+                    {
+                        "id_a": t.column("id_a").cast(pa.string()),
+                        "id_b": t.column("id_b").cast(pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            recs,
+            columns=("text",),
+        )
     verified = verify_jaccard(cands, k=k, threshold=jaccard_threshold)
 
     # components on the driver: the verified near-dup edge set is tiny
     # relative to the corpus (bounded by band sizes); at 10^12-doc scale
     # swap in clustering.connected_components_distributed.
     edges = verified.select_columns(["id_a", "id_b"]).to_pandas()
+    # normalize ids to strings so the label lookup below is mode-independent
+    # ('join' stringifies ids in the payload join; 'carry' keeps them typed)
     uf = UnionFind()
-    for a, b in zip(edges["id_a"], edges["id_b"]):
+    for a, b in zip(edges["id_a"].astype(str), edges["id_b"].astype(str)):
         uf.union(a, b)
     roots: dict = {}
     for node in list(uf.parent):
@@ -258,12 +303,15 @@ def minhash_lsh_clusters(
     def assign(t: pa.Table) -> pa.Table:
         lab = ray.get(label_ref)
         ids = t.column(id_column).to_pylist()
+        # labels are string ids (the slim join stringifies); canonical id is
+        # the lexicographic min member — deterministic, cast back to the id
+        # column's type
+        vals = [lab.get(str(i), str(i)) for i in ids]
         return pa.table(
             {
                 "id": t.column(id_column),
-                "cluster_id": pa.array(
-                    [lab.get(i, i) for i in ids],
-                    t.column(id_column).type,
+                "cluster_id": pa.array(vals, pa.string()).cast(
+                    t.column(id_column).type
                 ),
             }
         )
