@@ -30,6 +30,7 @@ def records_to_scores(
     cfg: BlockingConfig | None = None,
     model: Model | None = None,
     scorer_concurrency=(1, 8),
+    payload_mode: str = "join",
 ) -> "ray.data.Dataset":
     import dataclasses
 
@@ -37,23 +38,32 @@ def records_to_scores(
 
     cfg = cfg or default_config()
     model = model or default_model()
+    needed = tuple(
+        dict.fromkeys(f.field for f in model.features if "*" not in f.field)
+    )
     # Fully streaming: blocking flat-map -> bucketed pair generation.  The
     # hot-key cap (stop-word analogue) is applied inside the pair-gen bucket
     # tasks — every row of a block key hashes to the same bucket, so the
     # per-key counts there are globally exact and no separate counting
     # shuffle or blocks materialization is needed.
     #
-    # Pairs run SLIM (ids only) through dedup: a duplicate pair is emitted
-    # once per shared block key, so carrying payload through the dedup
-    # shuffle multiplies it by the key-duplication factor (16x for LSH
-    # bands on near-identical documents; measured 45s -> 8s at 411k pairs).
-    # The scorer's feature fields are attached afterwards by a bucketed
-    # groupby join against the records table.
-    slim_cfg = dataclasses.replace(cfg, payload_columns=())
-    blocks = block_records(records, slim_cfg)
-    slim = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
-    needed = tuple(dict.fromkeys(f.field for f in model.features))
-    pairs = attach_payload(slim, records, columns=needed)
+    # payload_mode picks how scorer feature fields reach the pairs:
+    #   'join' — pairs run SLIM (ids only) through dedup, payload attached
+    #     by a bucketed groupby join afterwards.  Wins when payload x
+    #     key-duplication is large (long document text + 16 LSH bands:
+    #     45s -> 8s at 411k pairs).
+    #   'carry' — payload rides through blocking and pair-gen.  Wins for
+    #     short fields where the two join shuffles would cost more than the
+    #     duplicated payload bytes (profile records: ~60B payload).
+    if payload_mode == "carry":
+        carry_cfg = dataclasses.replace(cfg, payload_columns=needed)
+        blocks = block_records(records, carry_cfg)
+        pairs = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+    else:
+        slim_cfg = dataclasses.replace(cfg, payload_columns=())
+        blocks = block_records(records, slim_cfg)
+        slim = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+        pairs = attach_payload(slim, records, columns=needed)
     return score_pairs(pairs, model=model, concurrency=scorer_concurrency)
 
 
@@ -76,6 +86,7 @@ def dedupe_pages(
     threshold: float = 0.5,
     cc_mode: str = "driver",
     scorer_concurrency=(1, 8),
+    payload_mode: str = "join",
 ) -> "ray.data.Dataset":
     """pages -> CLUSTERS(record_id, cluster_id, cluster_score).
 
@@ -83,7 +94,11 @@ def dedupe_pages(
     (campaign_finance_dedupe.py:320)."""
     records = pages_to_records(pages)
     scores = records_to_scores(
-        records, cfg=cfg, model=model, scorer_concurrency=scorer_concurrency
+        records,
+        cfg=cfg,
+        model=model,
+        scorer_concurrency=scorer_concurrency,
+        payload_mode=payload_mode,
     )
     return scores_to_clusters(
         scores, records, threshold=threshold, cc_mode=cc_mode

