@@ -63,8 +63,14 @@ def categorical_dummies(value, categories: list) -> np.ndarray:
     return out
 
 
+_EARTH_RADIUS_KM = 6371.0088  # mean Earth radius, the haversine package's unit
+
+
 def haversine_sqrt(latlong_a, latlong_b) -> float:
-    """sqrt(haversine central angle) — the LatLong comparator."""
+    """sqrt(haversine distance in km) — the LatLong comparator
+    (variables/latlong.py:13-15: ``sqrt(haversine(x, y))`` where haversine
+    returns kilometers; weights ported from a reference settings file expect
+    this scale)."""
     if not latlong_a or not latlong_b:
         return np.nan
     lat1, lon1 = (math.radians(x) for x in latlong_a)
@@ -74,7 +80,8 @@ def haversine_sqrt(latlong_a, latlong_b) -> float:
         math.sin(dlat / 2) ** 2
         + math.cos(lat1) * math.cos(lat2) * math.sin(dlon / 2) ** 2
     )
-    return math.sqrt(2 * math.asin(math.sqrt(min(h, 1.0))))
+    angle = 2 * math.asin(math.sqrt(min(h, 1.0)))
+    return math.sqrt(angle * _EARTH_RADIUS_KM)
 
 
 def price_difference(p1, p2) -> float:

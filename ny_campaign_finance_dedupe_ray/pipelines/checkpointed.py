@@ -60,7 +60,12 @@ def run_dedupe_checkpointed(
         from ..stages.pairs import attach_payload
 
         slim = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
-        needed = tuple(dict.fromkeys(f.field for f in model.features))
+        # interaction features (field = "feat1*feat2") are derived from other
+        # features' values, not record columns — excluding them mirrors
+        # dedupe_pages.records_to_scores
+        needed = tuple(
+            dict.fromkeys(f.field for f in model.features if "*" not in f.field)
+        )
         return score_pairs(
             attach_payload(slim, records, columns=needed), model=model
         )

@@ -44,7 +44,14 @@ def partition(
     import dataclasses
 
     blocks = block_records(records, dataclasses.replace(cfg, payload_columns=()))
-    slim = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+    slim = candidate_pairs(blocks, max_block_size=cfg.max_block_size).materialize()
+    if slim.count() == 0 and len(data) > 1:
+        from ..stages.scoring import BlockingError
+
+        raise BlockingError(
+            "No candidate pairs were produced — the blocking predicates are "
+            "too restrictive for this data (reference core.py:288-293)."
+        )
     pairs = attach_payload(slim, records, columns=tuple(fields))
     scores = score_pairs(pairs, model=model, custom_fns=custom_fns)
     comps = connected_components(scores, mode="driver")

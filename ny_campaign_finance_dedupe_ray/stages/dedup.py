@@ -96,6 +96,13 @@ def minhash_band_table(
         h, splits = H.shingle_hashes(col, k=k)
         sigs = H.minhash(h, splits, n_perm=n_perm)
         rows, keys = H.lsh_band_keys(sigs, n_bands=n_bands)
+        # rows with zero shingles (shorter than k chars) all share the
+        # all-max sentinel signature — emitting their band keys would merge
+        # every short/empty doc into one giant candidate band; they can only
+        # match by exact text, which exact_dedup covers
+        nonempty = splits[:-1] < splits[1:]
+        keep = nonempty[rows]
+        rows, keys = rows[keep], keys[keep]
         idx = pa.array(rows)
         cols = {
             "band_key": pa.array([str(x) for x in keys], pa.string()),
@@ -206,7 +213,10 @@ def verify_jaccard(
             A = set(ha[sa[i]: sa[i + 1]].tolist())
             B = set(hb[sb[i]: sb[i + 1]].tolist())
             if not A and not B:
-                jac[i] = 1.0
+                # two sub-k-length texts: shingle sets carry no signal, so
+                # a match requires exact text equality (never 1.0 for
+                # arbitrary short strings)
+                jac[i] = 1.0 if ta[i].as_py() == tb[i].as_py() else 0.0
             elif A and B:
                 jac[i] = len(A & B) / len(A | B)
         keep = pa.array(jac >= threshold)

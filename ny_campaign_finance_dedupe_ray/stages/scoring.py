@@ -13,8 +13,19 @@ Feature comparators run inside an embedded DuckDB connection per actor
 the reference's C comparators (affinegap; variables/string.py:60-66).  The
 logistic scorer is numpy: sigma(X.w + b) (core.py:149-150).
 
-Raises ``BlockingError`` when zero candidate pairs arrive (core.py:288-293
-parity).
+``BlockingError`` (core.py:288-293 parity) is raised by the in-memory
+``partition()`` entry point when blocking yields zero candidate pairs; the
+streaming ``score_pairs`` stage itself cannot know the global pair count
+without forcing execution, so empty streams simply produce empty output.
+
+Edge-pruning note (intentional divergence from the reference): pairs with
+score <= ``min_score`` (default ``model.threshold``) are DROPPED here, while
+the reference's ``partition()`` clusters over the full scored edge list —
+sub-threshold edges there still join connected components and contribute
+distances to the centroid-linkage dendrogram.  At web scale the full edge
+list is quadratic-ish junk; pruning at the threshold is the scale-driven
+choice.  Pass ``min_score=0.0`` (or any value below the clustering
+threshold) to reproduce the reference's exact dendrogram inputs.
 """
 
 from __future__ import annotations

@@ -168,3 +168,13 @@ def test_comparators():
     assert C.exists_dummies("x", "y").tolist() == [1.0, 0.0]
     assert C.exists_dummies("x", None).tolist() == [0.0, 1.0]
     assert C.exists_dummies(None, None).tolist() == [0.0, 0.0]
+
+
+def test_haversine_km_scale():
+    # ADVICE r1: reference LatLong comparator is sqrt(haversine-in-KM);
+    # one degree of latitude is ~111 km, so sqrt ~ 10.5
+    import math
+
+    d = C.haversine_sqrt((42.0, -73.0), (43.0, -73.0))
+    assert 10.0 < d < 11.0
+    assert abs(d - math.sqrt(111.19)) < 0.1

@@ -65,3 +65,27 @@ def test_checkpointed_pipeline_resume(tmp_path, fixture_tables):
     a = clusters.sort_values("record_id").reset_index(drop=True)
     b = clusters2.sort_values("record_id").reset_index(drop=True)
     assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
+
+
+def test_checkpointed_with_interaction_feature(tmp_path, fixture_tables):
+    # ADVICE r1: make_scores must exclude interaction fields ("f1*f2") from
+    # the payload-join column list or attach_payload crashes on a
+    # nonexistent column.
+    from ny_campaign_finance_dedupe_ray.state.model import (
+        Feature, Model, default_model,
+    )
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(fixture_tables["pages"], pages_path)
+    base = default_model()
+    model = Model(
+        features=base.features
+        + [Feature("jwx", "jw_name*jw_street", "interaction")],
+        weights=base.weights + [0.0],
+        bias=base.bias,
+        threshold=base.threshold,
+    )
+    clusters = run_dedupe_checkpointed(
+        pages_path, str(tmp_path / "work_ix"), model=model
+    ).to_pandas()
+    assert len(clusters) > 0

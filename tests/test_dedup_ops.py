@@ -91,3 +91,34 @@ def test_embedding_neardup_pairs():
     got = set(zip(out["id_a"], out["id_b"]))
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got)
+
+
+def test_short_docs_not_merged():
+    # ADVICE r1: sub-k-length docs used to share the all-max sentinel
+    # signature (all band keys) and jaccard 1.0 on empty shingle sets,
+    # merging distinct short docs into one cluster.
+    ds = _docs(["cat", "dog", BASE, BASE, ""])
+    out = D.minhash_lsh_clusters(ds, k=5).to_pandas()
+    lab = dict(zip(out["id"], out["cluster_id"]))
+    assert lab[0] == 0 and lab[1] == 1 and lab[4] == 4  # singletons
+    assert lab[2] == lab[3] == 2
+
+    # and empty-shingle rows emit no band keys at all
+    bands = D.minhash_band_table(_docs(["cat", "dog", ""]), k=5).to_pandas()
+    assert len(bands) == 0
+
+
+def test_verify_jaccard_short_texts():
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 3], pa.int64()),
+                "id_b": pa.array([2, 4], pa.int64()),
+                "text_a": pa.array(["cat", "dog"], pa.string()),
+                "text_b": pa.array(["cat", "pig"], pa.string()),
+            }
+        )
+    )
+    out = D.verify_jaccard(pairs, k=5, threshold=0.5).to_pandas()
+    # equal short texts match (jaccard 1.0); unequal short texts do not
+    assert out["id_a"].tolist() == [1]

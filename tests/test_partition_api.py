@@ -91,3 +91,20 @@ def test_empty_and_singleton_pipelines():
     assert len(out) == 1
     assert out.iloc[0]["record_id"] == out.iloc[0]["cluster_id"]
     assert out.iloc[0]["cluster_score"] == 1.0
+
+
+def test_blocking_error_on_zero_pairs():
+    # ADVICE r1: BlockingError parity — partition() must raise when the
+    # predicates produce zero candidate pairs (reference core.py:288-293)
+    import pytest
+
+    from ny_campaign_finance_dedupe_ray.stages.scoring import BlockingError
+
+    disjoint = {
+        "a1": {"name": "aaaa bbbb", "street": "1 x", "city": "c1",
+               "state": "ny", "zip": "11111", "text_norm": "aaaa"},
+        "b1": {"name": "zzzz yyyy", "street": "2 q", "city": "c2",
+               "state": "ca", "zip": "99999", "text_norm": "zzzz"},
+    }
+    with pytest.raises(BlockingError):
+        partition(disjoint, threshold=0.5)
