@@ -139,13 +139,15 @@ def _node_bucket(t: pa.Table, col: str, n_buckets: int) -> pa.Table:
     )
 
 
-def connected_components_distributed(
-    scores: "ray.data.Dataset",
+def cc_labels(
+    edges: "ray.data.Dataset",
     max_iter: int = 25,
-    max_components: int = 30000,
     n_buckets: int = 64,
 ) -> "ray.data.Dataset":
-    """Iterative hash-partitioned min-label propagation (SURVEY.md §7.6).
+    """EDGES(id_a, id_b) -> LABELS(node, label): the distributed
+    connected-components core, as iterative hash-partitioned min-label
+    propagation (SURVEY.md §7.6).  ``label`` is the lexicographic-min member
+    id as a string (matching the driver union-find's canonical choice).
 
     Each round is two bucketed shuffles with fully vectorized pandas merges
     inside the bucket tasks (never per-node dispatch):
@@ -153,7 +155,7 @@ def connected_components_distributed(
       (2) per-node min over messages -> new labels.
     Converges in O(component diameter) rounds (near-dup components are
     shallow); early exit via a global label fingerprint (sum of
-    hash64(node|label) mod 2^63 — two equal consecutive fingerprints =>
+    hash64(node|label) mod 2^40 — two equal consecutive fingerprints =>
     fixpoint).  No driver-side materialization of edges or labels.
     """
     from ray.data.aggregate import Sum
@@ -173,7 +175,7 @@ def connected_components_distributed(
         )
 
     adj = (
-        scores.select_columns(["id_a", "id_b"])
+        edges.select_columns(["id_a", "id_b"])
         .map_batches(edge_msgs, batch_format="pyarrow")
         .map_batches(
             lambda t: _node_bucket(t, "node", n_buckets), batch_format="pyarrow"
@@ -262,6 +264,63 @@ def connected_components_distributed(
         if prev_fp is not None and fp == prev_fp:
             break
         prev_fp = fp
+    return labels
+
+
+def attach_labels(
+    nodes: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """NODES(node) ⟕ LABELS(node, label) -> (node, label) for every input
+    node, label = node for unlabeled singletons — a bucketed groupby join;
+    neither side is broadcast or driver-materialized (the scale-safe
+    replacement for a ``ray.put(label_dict)`` whole-corpus broadcast)."""
+
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.string()),
+                "label": pa.array([None] * t.num_rows, pa.string()),
+                "is_node": pa.array([True] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.string()),
+                "label": t.column("label").cast(pa.string()),
+                "is_node": pa.array([False] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[~g["is_node"]][["node", "label"]].drop_duplicates("node")
+        out = g[g["is_node"]][["node"]].merge(lab, on="node", how="left")
+        out["label"] = out["label"].fillna(out["node"])
+        return out
+
+    return (
+        nodes.map_batches(tag_nodes, batch_format="pyarrow")
+        .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        .map_batches(
+            lambda t: _node_bucket(t, "node", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+    )
+
+
+def connected_components_distributed(
+    scores: "ray.data.Dataset",
+    max_iter: int = 25,
+    max_components: int = 30000,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """SCORES -> edges labeled with 'component' via ``cc_labels`` + a
+    bucketed label-attach join + the oversized-component refilter."""
+    labels = cc_labels(scores, max_iter=max_iter, n_buckets=n_buckets)
 
     # attach labels to edges: bucketed merge on id_a's node
     lab_rows = labels.map_batches(
@@ -348,8 +407,11 @@ def connected_components(
     mode='auto' collects the edge list to the driver union-find while it is
     small (edges are tens of bytes each; the match-edge set is orders of
     magnitude smaller than the corpus) and switches to the distributed
-    min-label propagation above the limit."""
+    min-label propagation above the limit.  The input is materialized first
+    so the upstream DAG executes once — count() on a lazy Dataset would run
+    the whole pipeline and the chosen path would re-run it."""
     if mode == "auto":
+        scores = scores.materialize()
         mode = (
             "driver" if scores.count() <= DRIVER_CC_EDGE_LIMIT else "distributed"
         )

@@ -240,10 +240,12 @@ def minhash_lsh_clusters(
     n_bands: int = 16,
     jaccard_threshold: float = 0.8,
     payload_mode: str = "carry",
+    cc_mode: str = "auto",
 ) -> "ray.data.Dataset":
     """Full near-dup pipeline: LSH bands -> candidate pairs -> exact jaccard
     verify -> connected components.  Output: (id, cluster_id) for every
-    input row (cluster_id = min member id; singletons map to themselves).
+    input row (cluster_id = min member id under string order; singletons map
+    to themselves).
 
     payload_mode:
       'carry' (default) — text rides through the band shuffle; right for
@@ -251,7 +253,18 @@ def minhash_lsh_clusters(
         payload amplification and no extra join shuffles);
       'join' — ids-only bands + a bucketed payload join before verify;
         right for dup-DENSE corpora where a duplicate pair is re-emitted
-        once per shared band (the flagship's slim-pairs rule)."""
+        once per shared band (the flagship's slim-pairs rule).
+
+    cc_mode:
+      'driver' — collect the verified edge set, union-find on the driver,
+        broadcast the label map (fine while edges + labels fit in driver
+        heap);
+      'distributed' — min-label propagation over bucketed shuffles
+        (clustering.cc_labels) + a bucketed label-attach join
+        (clustering.attach_labels): nothing corpus-sized ever touches the
+        driver — the 100-TB path;
+      'auto' (default) — materialize the verified edges, pick by edge count
+        against clustering.DRIVER_CC_EDGE_LIMIT."""
     if payload_mode == "carry":
         bands = minhash_band_table(
             ds, text_column=text_column, id_column=id_column,
@@ -290,9 +303,39 @@ def minhash_lsh_clusters(
         )
     verified = verify_jaccard(cands, k=k, threshold=jaccard_threshold)
 
-    # components on the driver: the verified near-dup edge set is tiny
-    # relative to the corpus (bounded by band sizes); at 10^12-doc scale
-    # swap in clustering.connected_components_distributed.
+    if cc_mode == "auto":
+        from .clustering import DRIVER_CC_EDGE_LIMIT
+
+        verified = verified.materialize()  # single upstream execution
+        cc_mode = (
+            "driver"
+            if verified.count() <= DRIVER_CC_EDGE_LIMIT
+            else "distributed"
+        )
+
+    if cc_mode == "distributed":
+        from .clustering import attach_labels, cc_labels
+
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_column]
+        labels = cc_labels(verified)
+        nodes = ds.map_batches(
+            lambda t: pa.table({"node": t.column(id_column).cast(pa.string())}),
+            batch_format="pyarrow",
+        )
+        return attach_labels(nodes, labels).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t.column("node").cast(id_type),
+                    "cluster_id": t.column("label").cast(id_type),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # driver path: the verified near-dup edge set is small relative to the
+    # corpus (bounded by band sizes), so union-find + a broadcast label map
+    # is the low-latency choice
     edges = verified.select_columns(["id_a", "id_b"]).to_pandas()
     # normalize ids to strings so the label lookup below is mode-independent
     # ('join' stringifies ids in the payload join; 'carry' keeps them typed)

@@ -168,3 +168,40 @@ def test_gazette_matching():
         sub = out[out["id_a"] == qa].sort_values("score", ascending=False)
         got = [(b, round(float(s), 2)) for b, s in zip(sub["id_b"], sub["score"])]
         assert got == want, (qa, got, want)
+
+
+def test_cc_auto_executes_upstream_once(tmp_path):
+    # VERDICT r1 #2: mode="auto" used to count() the lazy pipeline (one full
+    # execution) and then re-execute it on the chosen path; the materialize
+    # fix makes the upstream map run exactly once per input block.
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.clustering import connected_components
+
+    marker_dir = str(tmp_path / "runs")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def tracked(t: pa.Table) -> pa.Table:
+        import uuid
+
+        with open(os.path.join(marker_dir, uuid.uuid4().hex), "w") as f:
+            f.write(str(t.num_rows))
+        return t
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(["a", "b"], pa.string()),
+                "id_b": pa.array(["b", "c"], pa.string()),
+                "score": pa.array([0.9, 0.8], pa.float64()),
+            }
+        )
+    ).map_batches(tracked, batch_format="pyarrow")
+
+    out = connected_components(edges, mode="auto").to_pandas()
+    assert set(out["component"]) == {"a"}
+    # one input block -> exactly one tracked invocation
+    assert len(os.listdir(marker_dir)) == 1

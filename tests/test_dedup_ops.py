@@ -122,3 +122,25 @@ def test_verify_jaccard_short_texts():
     out = D.verify_jaccard(pairs, k=5, threshold=0.5).to_pandas()
     # equal short texts match (jaccard 1.0); unequal short texts do not
     assert out["id_a"].tolist() == [1]
+
+
+def test_minhash_cc_driver_vs_distributed():
+    # VERDICT r1 #1: the distributed CC finish must assign identical
+    # clusters to the driver union-find path.
+    near = BASE.replace("lazy", "hazy")
+    far = "completely different content with no resemblance to anything else here at all okay"
+    texts = [BASE, near, far, BASE, far + " variant two", "cat"]
+    ds = _docs(texts)
+    drv = (
+        D.minhash_lsh_clusters(ds, jaccard_threshold=0.5, cc_mode="driver")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    dist = (
+        D.minhash_lsh_clusters(ds, jaccard_threshold=0.5, cc_mode="distributed")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert drv["cluster_id"].tolist() == dist["cluster_id"].tolist()
+    assert drv["id"].tolist() == dist["id"].tolist()
+    lab = dict(zip(dist["id"], dist["cluster_id"]))
+    assert lab[0] == lab[1] == lab[3]
+    assert lab[2] != lab[0] and lab[5] == 5
