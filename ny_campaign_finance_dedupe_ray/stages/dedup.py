@@ -187,11 +187,66 @@ def lsh_candidate_pairs(
     )
 
 
+def _unique_per_row(h: np.ndarray, splits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row-deduplicated (rows, hashes): one lexsort over the whole
+    batch's shingle buffer — no per-row Python set construction."""
+    counts = np.diff(splits)
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if len(h) == 0:
+        return rows, h
+    order = np.lexsort((h, rows))
+    sr, sh = rows[order], h[order]
+    uniq = np.empty(len(sr), dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+    return sr[uniq], sh[uniq]
+
+
+def batch_jaccard(
+    ta: pa.Array, tb: pa.Array, k: int = 5
+) -> np.ndarray:
+    """Exact k-shingle Jaccard for n aligned text pairs, fully vectorized:
+    per-row unique shingle hashes via one lexsort per side, intersection
+    counts via one merged lexsort (each side is row-unique, so an adjacent
+    duplicate (row, hash) in the merged order is exactly one cross-side
+    hit).  Two sub-k-length texts match only if byte-equal."""
+    import pyarrow.compute as pc
+
+    n = len(ta)
+    ha, sa = H.shingle_hashes(ta, k=k)
+    hb, sb = H.shingle_hashes(tb, k=k)
+    ra, ua = _unique_per_row(ha, sa)
+    rb, ub = _unique_per_row(hb, sb)
+    size_a = np.bincount(ra, minlength=n)
+    size_b = np.bincount(rb, minlength=n)
+
+    all_rows = np.concatenate([ra, rb])
+    all_h = np.concatenate([ua, ub])
+    inter = np.zeros(n, dtype=np.int64)
+    if len(all_rows):
+        order = np.lexsort((all_h, all_rows))
+        sr, sh = all_rows[order], all_h[order]
+        dup = (sr[1:] == sr[:-1]) & (sh[1:] == sh[:-1])
+        np.add.at(inter, sr[1:][dup], 1)
+
+    union = size_a + size_b - inter
+    jac = np.zeros(n, dtype=np.float64)
+    nz = union > 0
+    jac[nz] = inter[nz] / union[nz]
+    both_empty = (size_a == 0) & (size_b == 0)
+    if both_empty.any():
+        eq = pc.equal(ta, tb).to_numpy(zero_copy_only=False)
+        eq = np.nan_to_num(eq.astype(np.float64))
+        jac[both_empty] = eq[both_empty]
+    return jac
+
+
 def verify_jaccard(
     pairs: "ray.data.Dataset", k: int = 5, threshold: float = 0.8
 ) -> "ray.data.Dataset":
-    """Exact k-shingle Jaccard per candidate pair (vectorized shingle sets
-    via the rolling hash); keeps pairs with jaccard >= threshold.
+    """Exact k-shingle Jaccard per candidate pair (``batch_jaccard``: sorted
+    hash intersections over the rolling-hash buffers, no per-pair Python
+    sets); keeps pairs with jaccard >= threshold.
     Output: (id_a, id_b, jaccard)."""
 
     def verify(t: pa.Table) -> pa.Table:
@@ -206,19 +261,7 @@ def verify_jaccard(
             ta = ta.combine_chunks()
         if isinstance(tb, pa.ChunkedArray):
             tb = tb.combine_chunks()
-        ha, sa = H.shingle_hashes(ta, k=k)
-        hb, sb = H.shingle_hashes(tb, k=k)
-        jac = np.zeros(t.num_rows)
-        for i in range(t.num_rows):
-            A = set(ha[sa[i]: sa[i + 1]].tolist())
-            B = set(hb[sb[i]: sb[i + 1]].tolist())
-            if not A and not B:
-                # two sub-k-length texts: shingle sets carry no signal, so
-                # a match requires exact text equality (never 1.0 for
-                # arbitrary short strings)
-                jac[i] = 1.0 if ta[i].as_py() == tb[i].as_py() else 0.0
-            elif A and B:
-                jac[i] = len(A & B) / len(A | B)
+        jac = batch_jaccard(ta, tb, k=k)
         keep = pa.array(jac >= threshold)
         return pa.table(
             {
