@@ -42,6 +42,23 @@ class BlockingError(Exception):
     (reference core.py:288-293)."""
 
 
+# kinds computed outside DuckDB: derived (interaction), registered python
+# comparators (custom), and the numpy-path variable kinds
+_PYTHON_KINDS = frozenset(
+    {
+        "interaction",
+        "custom",
+        "affine_gap",
+        "cosine_text",
+        "cosine_set",
+        "price",
+        "latlong",
+        "categorical_dummy",
+        "exists_both",
+        "exists_one",
+    }
+)
+
 _SQL_TEMPLATES = {
     "jaro_winkler": "jaro_winkler_similarity(coalesce({a},''), coalesce({b},''))",
     "levenshtein_ratio": (
@@ -58,20 +75,102 @@ _SQL_TEMPLATES = {
 }
 
 
-def feature_sql(model: Model) -> str:
-    """SQL for the duckdb-computable features; interaction/custom features
-    are computed afterwards in numpy/python (datamodel.py:74-115 derived
-    columns)."""
+def feature_sql(model: Model) -> str | None:
+    """SQL for the duckdb-computable features; _PYTHON_KINDS features are
+    computed afterwards in numpy/python (datamodel.py:74-115 derived
+    columns).  None when the model has no DuckDB-computable feature."""
     exprs = []
     for f in model.features:
-        if f.kind in ("interaction", "custom"):
+        if f.kind in _PYTHON_KINDS:
             continue
         tpl = _SQL_TEMPLATES[f.kind]
         exprs.append(
             tpl.format(a=f'"{f.field}_a"', b=f'"{f.field}_b"')
             + f' as "{f.name}"'
         )
+    if not exprs:
+        return None
     return "SELECT " + ", ".join(exprs) + " FROM batch_tbl"
+
+
+def _categorical_combos(categories: list) -> list[tuple[int, int]]:
+    """Unordered category-index pairs in combinations_with_replacement
+    order, minus the (0, 0) reference level — the dummy layout of the
+    reference's CategoricalComparator (variables/categorical_type.py:18-34)."""
+    import itertools
+
+    return list(
+        itertools.combinations_with_replacement(range(len(categories)), 2)
+    )[1:]
+
+
+def py_feature_values(f, batch: pa.Table) -> np.ndarray:
+    """Numpy-path feature column for one python-kind feature over a pair
+    batch (columns ``{field}_a`` / ``{field}_b``).  NaN marks missing,
+    matching the reference's missing-data rule (datamodel.py:74-115) —
+    callers zero-fill and pair with a ``not_missing`` dummy."""
+    from ..functions import comparators as C
+    from ..functions.affinegap import normalized_affine_gap_distance
+
+    a = batch.column(f"{f.field}_a")
+    b = batch.column(f"{f.field}_b")
+
+    if f.kind == "price":
+        va = a.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vb = b.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.abs(np.log10(va) - np.log10(vb))
+        out[(~(va > 0)) | (~(vb > 0))] = np.nan  # non-positive or NaN
+        return out
+
+    va, vb = a.to_pylist(), b.to_pylist()
+    n = len(va)
+
+    if f.kind == "latlong":
+        return np.array(
+            [C.haversine_sqrt(x, y) for x, y in zip(va, vb)], dtype=np.float64
+        )
+    if f.kind == "affine_gap":
+        return np.array(
+            [
+                np.nan
+                if not x or not y
+                else normalized_affine_gap_distance(x, y)
+                for x, y in zip(va, vb)
+            ],
+            dtype=np.float64,
+        )
+    if f.kind == "cosine_text":
+        return np.array(
+            [C.cosine_text(x, y) for x, y in zip(va, vb)], dtype=np.float64
+        )
+    if f.kind == "cosine_set":
+        return np.array(
+            [C.cosine_set(x, y) for x, y in zip(va, vb)], dtype=np.float64
+        )
+    if f.kind == "exists_both":
+        return np.array(
+            [1.0 if (x and y) else 0.0 for x, y in zip(va, vb)],
+            dtype=np.float64,
+        )
+    if f.kind == "exists_one":
+        return np.array(
+            [1.0 if bool(x) != bool(y) else 0.0 for x, y in zip(va, vb)],
+            dtype=np.float64,
+        )
+    if f.kind == "categorical_dummy":
+        cats = list(f.params["categories"])
+        target = _categorical_combos(cats)[int(f.params["pair_index"])]
+        idx = {c: i for i, c in enumerate(cats)}
+        out = np.empty(n, dtype=np.float64)
+        for i, (x, y) in enumerate(zip(va, vb)):
+            if x is None or y is None or x not in idx or y not in idx:
+                out[i] = np.nan
+            else:
+                pair = tuple(sorted((idx[x], idx[y])))
+                out[i] = 1.0 if pair == target else 0.0
+        return out
+    raise ValueError(f"not a python-path feature kind: {f.kind!r}")
 
 
 class PairScorer:
@@ -102,17 +201,20 @@ class PairScorer:
         self.sql = feature_sql(model)
 
     def features(self, batch: pa.Table) -> np.ndarray:
-        self.con.register("batch_tbl", batch)
-        out = self.con.execute(self.sql).fetch_arrow_table()
-        self.con.unregister("batch_tbl")
-        base: dict[str, np.ndarray] = {
-            f.name: out.column(f.name).to_numpy(zero_copy_only=False)
-            for f in self.model.features
-            if f.kind not in ("interaction", "custom")
-        }
-        # derived columns (datamodel.py:74-115): custom comparators per
-        # pair, then interactions as products of named features (NaN -> 0
-        # before multiplying, matching the reference's Interaction rule)
+        base: dict[str, np.ndarray] = {}
+        if self.sql is not None:
+            self.con.register("batch_tbl", batch)
+            out = self.con.execute(self.sql).fetch_arrow_table()
+            self.con.unregister("batch_tbl")
+            base = {
+                f.name: out.column(f.name).to_numpy(zero_copy_only=False)
+                for f in self.model.features
+                if f.kind not in _PYTHON_KINDS
+            }
+        # derived columns (datamodel.py:74-115): numpy-path variable kinds
+        # and custom comparators per pair, then interactions as products of
+        # named features (NaN -> 0 before multiplying, matching the
+        # reference's Interaction rule)
         for f in self.model.features:
             if f.kind == "custom":
                 fn = self.custom_fns[f.name]
@@ -121,6 +223,8 @@ class PairScorer:
                 base[f.name] = np.array(
                     [float(fn(a, b)) for a, b in zip(va, vb)]
                 )
+            elif f.kind in _PYTHON_KINDS and f.kind != "interaction":
+                base[f.name] = py_feature_values(f, batch)
         for f in self.model.features:
             if f.kind == "interaction":
                 f1, f2 = f.field.split("*", 1)

@@ -34,6 +34,23 @@ FEATURE_KINDS = (
                          # field = "feat1*feat2"
     "custom",            # registered python comparator (variables/base.py:
                          # 75-91); field = column, name must be registered
+    # numpy/python-path kinds (reference variable registry parity):
+    "affine_gap",        # normalizedAffineGapDistance — the reference's
+                         # default String/ShortString comparator
+                         # (variables/string.py:60-66, datamodel.py:74-115)
+    "cosine_text",       # TF cosine over tokens (Text w/ corpus,
+                         # variables/string.py:78-93)
+    "cosine_set",        # cosine over set elements (variables/set.py:21-27)
+    "price",             # |log10 p1 - log10 p2| (variables/price.py:12-19)
+    "latlong",           # sqrt(haversine km) (variables/latlong.py:13-15)
+    "categorical_dummy",  # one dummy of the categorical pair expansion
+                         # (variables/categorical_type.py:18-34); params =
+                         # {"categories": [...], "pair_index": i} where
+                         # dummies enumerate unordered category pairs
+                         # (combinations_with_replacement order) minus the
+                         # (cat0, cat0) reference level
+    "exists_both",       # presence-pattern dummies (variables/exists.py:
+    "exists_one",        # 25-35): both truthy / exactly one truthy
 )
 
 # registry for "custom" comparator functions: name -> f(a, b) -> float
@@ -52,12 +69,20 @@ class Feature:
     name: str
     field: str
     kind: str
+    params: dict | None = None
 
     def __post_init__(self):
         if self.kind not in FEATURE_KINDS:
             raise ValueError(f"unknown feature kind {self.kind!r}")
         if self.kind == "interaction" and "*" not in self.field:
             raise ValueError("interaction field must be 'feat1*feat2'")
+        if self.kind == "categorical_dummy":
+            p = self.params or {}
+            if "categories" not in p or "pair_index" not in p:
+                raise ValueError(
+                    "categorical_dummy needs params={'categories': [...],"
+                    " 'pair_index': i}"
+                )
 
 
 @dataclass
@@ -110,6 +135,31 @@ def default_model() -> Model:
     weights = [2.3387, 4.4085, 2.9304, 3.0836, 2.8818, -0.4778]
     bias = -11.0369
     return Model(features=feats, weights=weights, bias=bias, threshold=0.5)
+
+
+def affine_model() -> Model:
+    """Flagship model over the SAME feature space as the reference's default
+    String variables — normalizedAffineGapDistance per field
+    (variables/string.py:60-66, datamodel.py:74-115) — so clusters are
+    comparable to a reference model artifact's.  Weights fit offline with
+    ``fit_logistic`` on the seeded fixture's labeled pairs, hard negatives
+    from both blocking axes (same-name-token and same-zip cross-entity
+    pairs), plus all-missing zero rows so the missing-data zero-fill rule
+    cannot push an empty pair over the threshold (train accuracy 1.0 on
+    818 pos / 2116 neg; see tests/test_pipeline_f1.py::test_affine_gap_f1)."""
+    feats = [
+        Feature("ag_name", "name", "affine_gap"),
+        Feature("ag_street", "street", "affine_gap"),
+        Feature("ag_city", "city", "affine_gap"),
+        Feature("exact_zip", "zip", "exact"),
+        Feature("nm_name", "name", "not_missing"),
+    ]
+    return Model(
+        features=feats,
+        weights=[-0.5998, -0.9792, -0.7223, 4.1372, 3.393],
+        bias=-2.1649,
+        threshold=0.5,
+    )
 
 
 def doc_model() -> Model:

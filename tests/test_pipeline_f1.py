@@ -31,3 +31,16 @@ def test_flagship_deterministic_across_partitioning(fixture_tables):
     a = a.sort_values("record_id").reset_index(drop=True)
     b = b.sort_values("record_id").reset_index(drop=True)
     assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
+
+
+def test_affine_gap_f1(fixture_tables):
+    # VERDICT r1 #3: flagship run with the reference's comparator space
+    # (affine gap per string field) must hit the same F1 gate.
+    from ny_campaign_finance_dedupe_ray.state.model import affine_model
+
+    pages = fixture_tables["pages"]
+    clusters = dedupe_pages(
+        rd.from_arrow(pages).repartition(8), model=affine_model()
+    ).to_pandas()
+    m = pairwise_prf(clusters, fixture_tables["labels"].to_pandas())
+    assert m["f1"] >= 0.99, m

@@ -82,3 +82,118 @@ def test_model_json_roundtrip(tmp_path):
     m2 = M.Model.load(p)
     assert m2.weights == m.weights
     assert [f.name for f in m2.features] == [f.name for f in m.features]
+
+
+def test_python_kind_features():
+    # VERDICT r1 #3/#4: the remaining reference variable comparators as
+    # Model feature kinds, one pair-batch each.
+    from ny_campaign_finance_dedupe_ray.functions.affinegap import (
+        normalized_affine_gap_distance,
+    )
+    from ny_campaign_finance_dedupe_ray.stages.scoring import py_feature_values
+
+    F = M.Feature
+
+    # affine_gap — the reference's default String comparator
+    batch = pa.table({
+        "name_a": pa.array(["mary crane", "mary crane", None], pa.string()),
+        "name_b": pa.array(["mary crane center", "mary crane", "x"], pa.string()),
+    })
+    got = py_feature_values(F("ag", "name", "affine_gap"), batch)
+    exp0 = normalized_affine_gap_distance("mary crane", "mary crane center")
+    assert abs(got[0] - exp0) < 1e-12
+    assert abs(got[1] - normalized_affine_gap_distance("mary crane", "mary crane")) < 1e-12
+    assert np.isnan(got[2])
+
+    # price: |log10 a - log10 b|, NaN for non-positive/missing
+    batch = pa.table({
+        "p_a": pa.array([100.0, 10.0, -1.0, None], pa.float64()),
+        "p_b": pa.array([1000.0, 10.0, 5.0, 2.0], pa.float64()),
+    })
+    got = py_feature_values(F("pd", "p", "price"), batch)
+    assert abs(got[0] - 1.0) < 1e-12 and got[1] == 0.0
+    assert np.isnan(got[2]) and np.isnan(got[3])
+
+    # latlong: sqrt(haversine km)
+    batch = pa.table({
+        "ll_a": pa.array([[42.0, -73.0]], pa.list_(pa.float64())),
+        "ll_b": pa.array([[43.0, -73.0]], pa.list_(pa.float64())),
+    })
+    got = py_feature_values(F("geo", "ll", "latlong"), batch)
+    assert 10.0 < got[0] < 11.0
+
+    # cosine_text / cosine_set
+    batch = pa.table({
+        "t_a": pa.array(["a b c", "a a"], pa.string()),
+        "t_b": pa.array(["a b c", "b b"], pa.string()),
+    })
+    got = py_feature_values(F("ct", "t", "cosine_text"), batch)
+    assert abs(got[0] - 1.0) < 1e-12 and got[1] == 0.0
+    batch = pa.table({
+        "s_a": pa.array([["x", "y"], ["x"]], pa.list_(pa.string())),
+        "s_b": pa.array([["x", "y"], ["y"]], pa.list_(pa.string())),
+    })
+    got = py_feature_values(F("cs", "s", "cosine_set"), batch)
+    assert abs(got[0] - 1.0) < 1e-12 and got[1] == 0.0
+
+    # exists dummies
+    batch = pa.table({
+        "e_a": pa.array(["v", "v", None, ""], pa.string()),
+        "e_b": pa.array(["w", None, None, "q"], pa.string()),
+    })
+    assert py_feature_values(F("eb", "e", "exists_both"), batch).tolist() == [1.0, 0.0, 0.0, 0.0]
+    assert py_feature_values(F("eo", "e", "exists_one"), batch).tolist() == [0.0, 1.0, 0.0, 1.0]
+
+    # categorical dummies: combos over ['lo','hi'] = [(0,0),(0,1),(1,1)],
+    # reference level (0,0) dropped -> pair_index 0 = (lo,hi), 1 = (hi,hi)
+    batch = pa.table({
+        "c_a": pa.array(["lo", "hi", "hi", None, "zz"], pa.string()),
+        "c_b": pa.array(["hi", "lo", "hi", "lo", "hi"], pa.string()),
+    })
+    p = {"categories": ["lo", "hi"]}
+    d0 = py_feature_values(F("c0", "c", "categorical_dummy", {**p, "pair_index": 0}), batch)
+    d1 = py_feature_values(F("c1", "c", "categorical_dummy", {**p, "pair_index": 1}), batch)
+    assert d0[:3].tolist() == [1.0, 1.0, 0.0]
+    assert d1[:3].tolist() == [0.0, 0.0, 1.0]
+    assert np.isnan(d0[3]) and np.isnan(d0[4])
+
+
+def test_model_json_roundtrip_all_kinds():
+    feats = [
+        M.Feature("ag", "name", "affine_gap"),
+        M.Feature("pd", "price", "price"),
+        M.Feature("geo", "loc", "latlong"),
+        M.Feature("ct", "text", "cosine_text"),
+        M.Feature("cs", "tags", "cosine_set"),
+        M.Feature("eb", "phone", "exists_both"),
+        M.Feature("cd", "tier", "categorical_dummy",
+                  {"categories": ["a", "b"], "pair_index": 0}),
+        M.Feature("nm", "name", "not_missing"),
+        M.Feature("ix", "ag*nm", "interaction"),
+    ]
+    m = M.Model(features=feats, weights=[0.1] * len(feats), bias=-1.0)
+    m2 = M.Model.from_json(m.to_json())
+    assert m2 == m
+    assert m2.features[6].params == {"categories": ["a", "b"], "pair_index": 0}
+
+
+def test_scorer_all_python_model():
+    # a model with NO duckdb feature must skip SQL entirely
+    from ny_campaign_finance_dedupe_ray.stages.scoring import PairScorer
+
+    # identical strings score normalized distance 0.5 (match weight 1 over
+    # normalizer 2·len); dissimilar strings land well above 1.0
+    m = M.Model(
+        features=[M.Feature("ag", "name", "affine_gap")],
+        weights=[-10.0], bias=6.0, threshold=0.5,
+    )
+    s = PairScorer(model=m)
+    batch = pa.table({
+        "id_a": pa.array(["x", "y"], pa.string()),
+        "id_b": pa.array(["p", "q"], pa.string()),
+        "name_a": pa.array(["mary crane", "mary crane"], pa.string()),
+        "name_b": pa.array(["mary crane", "entirely unrelated name"], pa.string()),
+    })
+    out = s(batch)
+    # identical names: affine gap ~0.5 (normalized match weight) -> high score
+    assert out.num_rows == 1 and out.column("id_a")[0].as_py() == "x"
