@@ -613,14 +613,35 @@ def greedy_matching(scores: "ray.data.Dataset") -> pd.DataFrame:
 
 
 def gazette_matching(
-    scores: "ray.data.Dataset", threshold: float = 0.0, n_matches: int = 1
+    scores: "ray.data.Dataset",
+    threshold: float = 0.0,
+    n_matches: int = 1,
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Per query record: filter > threshold, top n_matches by score
-    (clustering.py:280-308) — groupby(id_a).map_groups(top_k)."""
+    (clustering.py:280-308).  Queries are hash-bucketed by ``id_a`` and one
+    task per bucket takes every query's top-k in a single vectorized sort +
+    groupby-head — no per-query dispatch (the pairs.py rule)."""
 
-    def top_k(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["score"] > threshold]
-        g = g.sort_values(["score", "id_b"], ascending=[False, True])
-        return g.head(n_matches) if n_matches else g
+    def bucket(t: pa.Table) -> pa.Table:
+        c = t.column("id_a")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        h = hash64_str(c.cast(pa.string()))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
 
-    return scores.groupby("id_a").map_groups(top_k, batch_format="pandas")
+    def top_k_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["score"] > threshold].drop(columns=["bucket"])
+        g = g.sort_values(["id_a", "score", "id_b"], ascending=[True, False, True],
+                          kind="mergesort")
+        if n_matches:
+            g = g.groupby("id_a", sort=False).head(n_matches)
+        return g.reset_index(drop=True)
+
+    return (
+        scores.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(top_k_bucket, batch_format="pandas")
+    )
