@@ -36,13 +36,26 @@ def extract_html(html: bytes | None) -> str:
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
     html = batch.column("html")
-    # buffer-level loop: bytes.find is C; no per-row Python object churn
-    # beyond the unavoidable bytes/str boxing of a binary->string transform.
-    out = pa.array(
-        [extract_html(v) for v in html.to_pylist()],
-        type=pa.string(),
-    )
+    try:
+        # vectorized fast path: RE2 leftmost lazy match == first
+        # bytes.find('<p>') then first following '</p>' (verified identical
+        # incl. nested '<p>' inside the payload); whole batch stays in
+        # Arrow buffers — zero per-row Python boxing
+        s = html.cast(pa.string())
+        m = pc.extract_regex(s, pattern=r"(?s)<p>(?P<t>.*?)</p>")
+        out = pc.struct_field(m, "t").fill_null("")
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+    except pa.ArrowInvalid:
+        # batch contains non-utf8 html: per-row fallback decodes with
+        # errors='replace' — keeps the "pure function of the bytes" invariant
+        out = pa.array(
+            [extract_html(v) for v in html.to_pylist()],
+            type=pa.string(),
+        )
     cols = {name: batch.column(name) for name in batch.column_names if name != "html"}
     cols["extracted_text"] = out
     return pa.table(cols)

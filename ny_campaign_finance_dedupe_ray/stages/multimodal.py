@@ -1,12 +1,21 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBS (the image/audio codecs are not in
-this container): ``DecodeImage`` raises ``NotImplementedError`` unless
-constructed with ``fake=True``, in which case a deterministic fake decoder
-(seeded from the payload bytes) produces stable pseudo-features so the
-Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested end-to-end.
+Real, codec-free decode paths (pure numpy — no external image/audio
+library):
+
+- **PPM (P6) images** (``decode_ppm``): binary portable-pixmap parse ->
+  (h, w, 3) uint8 array -> nearest-neighbor resize -> deterministic feature
+  vector (channel stats + a coarse grayscale grid).
+- **WAV (PCM16) audio** (``decode_wav``): RIFF chunk walk -> int16 sample
+  array + sample rate -> features (duration, rms, zero-crossing rate, FFT
+  band energies).
+
+Compressed formats (JPEG/PNG/MP3/MP4...) genuinely need codec libraries that
+are not in this container: for those mimes the actors raise
+``NotImplementedError`` unless constructed with ``fake=True``, which
+substitutes a deterministic pseudo-feature seeded from the payload bytes so
+the Ray-side plumbing stays testable for any mime.
 
 Scale notes: binary payloads are wide, so these stages run with SMALL batch
 sizes and ``batch_format='pyarrow'`` (binary columns don't round-trip pandas
@@ -14,6 +23,8 @@ cleanly); payload columns are dropped as soon as features are extracted.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -32,19 +43,125 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# --------------------------------------------------------------------------
+# real decode kernels (pure numpy)
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (height, width, 3) uint8.  Handles '#' comments
+    and arbitrary whitespace in the header; maxval <= 255 only."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # the single whitespace byte after maxval
+    n = width * height * 3
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape(height, width, 3)
+
+
+def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """(h, w, c) -> (th, tw, c) by nearest-neighbor index maps (pure numpy)."""
+    tw, th = size
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(th) * h) // th, h - 1)
+    xi = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
+def image_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Deterministic feature vector: per-channel mean/std (6) + a coarse
+    grayscale grid from a nearest-resize, padded/truncated to ``dim``."""
+    f = img.astype(np.float32) / 255.0
+    stats = np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1))])
+    side = max(int(np.sqrt(max(dim - 6, 1))), 1)
+    gray = f.mean(axis=2)
+    grid = resize_nearest(gray[:, :, None], (side, side))[:, :, 0].ravel()
+    out = np.concatenate([stats, grid]).astype(np.float32)
+    if len(out) < dim:
+        out = np.pad(out, (0, dim - len(out)))
+    return out[:dim]
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (mono float32 samples in [-1, 1], sample_rate).
+    Multi-channel input is averaged to mono."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only PCM16 wav supported")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples, sample_rate
+
+
+def audio_features(
+    samples: np.ndarray, sample_rate: int, n_bands: int = 8
+) -> np.ndarray:
+    """(duration_s, rms, zero-crossing rate, n_bands FFT band energies)."""
+    n = len(samples)
+    dur = n / sample_rate if sample_rate else 0.0
+    rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if n > 1 else 0.0
+    if n:
+        spec = np.abs(np.fft.rfft(samples))
+        bands = np.array_split(spec, n_bands)
+        band_e = np.array([float(np.sqrt(np.mean(b**2))) for b in bands])
+    else:
+        band_e = np.zeros(n_bands)
+    return np.concatenate([[dur, rms, zcr], band_e]).astype(np.float32)
+
+
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic pseudo-embedding from payload bytes (no codecs)."""
+    """Deterministic pseudo-embedding from payload bytes (for codec-bound
+    mimes in tests)."""
     seed = int.from_bytes((payload or b"\0")[:8].ljust(8, b"\0"), "little")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(dim).astype(np.float32)
 
 
+# --------------------------------------------------------------------------
+# actor-pool stages
+# --------------------------------------------------------------------------
+
 class DecodeImage:
     """Actor: decode + resize + feature-extract an image payload column.
 
-    Real decode requires an image codec library (absent here) — pass
-    ``fake=True`` for the deterministic fake used in tests; otherwise the
-    first batch raises NotImplementedError with a clear message."""
+    PPM (P6) payloads decode for real (``decode_ppm``); compressed mimes
+    need a codec library absent here — they raise NotImplementedError
+    unless ``fake=True`` substitutes the deterministic pseudo-feature."""
 
     def __init__(self, target_size: tuple[int, int] = (224, 224),
                  feature_dim: int = 64, fake: bool = False):
@@ -53,17 +170,30 @@ class DecodeImage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires a codec library not present in this "
-                "environment; construct DecodeImage(fake=True) for the "
-                "deterministic fake decoder"
-            )
         payloads = batch.column("payload").to_pylist()
-        feats = [_fake_feature(p, self.feature_dim) for p in payloads]
-        out = pa.table(
+        feats, widths, heights = [], [], []
+        for p in payloads:
+            if p and p.startswith(b"P6"):
+                img = decode_ppm(p)
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                img = resize_nearest(img, self.target_size)
+                feats.append(image_features(img, self.feature_dim))
+            elif self.fake:
+                widths.append(self.target_size[0])
+                heights.append(self.target_size[1])
+                feats.append(_fake_feature(p, self.feature_dim))
+            else:
+                raise NotImplementedError(
+                    "only PPM (P6) decodes without a codec library; "
+                    "construct DecodeImage(fake=True) to pseudo-decode "
+                    "other mimes"
+                )
+        return pa.table(
             {
                 "media_id": batch.column("media_id"),
+                "width_in": pa.array(widths, pa.int32()),
+                "height_in": pa.array(heights, pa.int32()),
                 "width_out": pa.array(
                     [self.target_size[0]] * len(payloads), pa.int32()
                 ),
@@ -75,12 +205,52 @@ class DecodeImage:
                 ),
             }
         )
-        return out
+
+
+class DecodeAudio:
+    """Actor: decode + feature-extract a WAV (PCM16) payload column; other
+    audio mimes raise unless ``fake=True``."""
+
+    def __init__(self, n_bands: int = 8, fake: bool = False):
+        self.n_bands = n_bands
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats, rates, nsamp = [], [], []
+        for p in payloads:
+            if p and p[:4] == b"RIFF":
+                samples, rate = decode_wav(p)
+                rates.append(rate)
+                nsamp.append(len(samples))
+                feats.append(audio_features(samples, rate, self.n_bands))
+            elif self.fake:
+                rates.append(0)
+                nsamp.append(0)
+                feats.append(_fake_feature(p, self.n_bands + 3))
+            else:
+                raise NotImplementedError(
+                    "only WAV/PCM16 decodes without a codec library; "
+                    "construct DecodeAudio(fake=True) to pseudo-decode "
+                    "other mimes"
+                )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(nsamp, pa.int64()),
+                "feature": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
 
 
 class SampleFrames:
     """Actor: sample ``n_frames`` evenly spaced pseudo-frames from a video
-    payload — one output row per (media_id, frame_idx)."""
+    payload — one output row per (media_id, frame_idx).  Video container
+    parsing needs a real codec stack; the timestamp plumbing is real, the
+    frame decode is not (``fake=True`` required)."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False):
         self.n_frames = n_frames
@@ -127,6 +297,23 @@ def decode_images(
     )
 
 
+def decode_audio(
+    media: "ray.data.Dataset",
+    fake: bool = False,
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Audio rows -> feature rows (WAV/PCM16 real path)."""
+    return media.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def sample_frames(
     media: "ray.data.Dataset",
     n_frames: int = 4,
@@ -144,18 +331,65 @@ def sample_frames(
     )
 
 
-def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests."""
+# --------------------------------------------------------------------------
+# deterministic synthetic media (real PPM/WAV payloads)
+# --------------------------------------------------------------------------
+
+def make_ppm(width: int, height: int, seed: int) -> bytes:
+    """A real binary PPM (P6) with a seeded gradient+noise pattern."""
     rng = np.random.default_rng(seed)
-    rows = {
-        "media_id": [f"m{i:05d}" for i in range(n)],
-        "kind": [("image", "video")[i % 2] for i in range(n)],
-        "payload": [rng.bytes(128) for _ in range(n)],
-        "mime": ["image/fake" if i % 2 == 0 else "video/fake" for i in range(n)],
-        "width": [640] * n,
-        "height": [480] * n,
-        "duration_ms": [0 if i % 2 == 0 else 4000 for i in range(n)],
-    }
+    yy, xx = np.mgrid[0:height, 0:width]
+    r = (xx * 255 // max(width - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
+    b = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    img = np.stack([r, g, b], axis=2)
+    return b"P6\n%d %d\n255\n" % (width, height) + img.tobytes()
+
+
+def make_wav(duration_s: float, freq_hz: float, sample_rate: int = 8000) -> bytes:
+    """A real RIFF/WAVE PCM16 mono sine payload."""
+    n = int(duration_s * sample_rate)
+    t = np.arange(n) / sample_rate
+    samples = (np.sin(2 * np.pi * freq_hz * t) * 0.5 * 32767).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic media table with REAL ppm/wav payloads (video rows keep
+    fake payloads — container parsing is the one remaining stub)."""
+    rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                            "width", "height", "duration_ms")}
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        rows["media_id"].append(f"m{i:05d}")
+        if i % 3 == 0:
+            rows["kind"].append("image")
+            rows["mime"].append("image/x-portable-pixmap")
+            rows["payload"].append(make_ppm(16, 12, seed + i))
+            rows["width"].append(16)
+            rows["height"].append(12)
+            rows["duration_ms"].append(0)
+        elif i % 3 == 1:
+            rows["kind"].append("audio")
+            rows["mime"].append("audio/wav")
+            rows["payload"].append(make_wav(0.25, 440.0 + i))
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["duration_ms"].append(250)
+        else:
+            rows["kind"].append("video")
+            rows["mime"].append("video/fake")
+            rows["payload"].append(rng.bytes(128))
+            rows["width"].append(640)
+            rows["height"].append(480)
+            rows["duration_ms"].append(4000)
     return pa.table(
         {k: pa.array(v, MEDIA_SCHEMA.field(k).type) for k, v in rows.items()}
     )

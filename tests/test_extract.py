@@ -44,3 +44,39 @@ def test_write_read_roundtrip(fixture_tables, tmp_path):
     extract_text(rd.from_arrow(pages)).write_parquet(out_dir)
     back = rd.read_parquet(out_dir)
     assert back.count() == pages.num_rows
+
+
+def test_extract_vectorized_matches_scalar_and_handles_bad_utf8():
+    # VERDICT r1 #7: the pc.extract_regex fast path must agree byte-for-byte
+    # with the scalar extractor, and non-utf8 batches fall back per-row.
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.extract import (
+        _extract_batch, extract_html, extract_text,
+    )
+
+    payloads = [
+        b"<html><p>hello world</p></html>",
+        b"no paragraph here",
+        None,
+        b"<p>unclosed",
+        b"<p>a<p>b</p>tail</p>",
+        b"",
+        "<p>café ☃</p>".encode("utf-8"),
+    ]
+    t = pa.table({"url": pa.array([f"u{i}" for i in range(len(payloads))]),
+                  "html": pa.array(payloads, pa.binary())})
+    got = _extract_batch(t).column("extracted_text").to_pylist()
+    assert got == [extract_html(v) for v in payloads]
+
+    # invalid utf-8 forces the fallback path; output is still deterministic
+    bad = pa.table({"url": pa.array(["b0", "b1"]),
+                    "html": pa.array([b"\xff\xfe<p>x</p>", b"<p>ok</p>"], pa.binary())})
+    got_bad = _extract_batch(bad).column("extracted_text").to_pylist()
+    assert got_bad == [extract_html(b"\xff\xfe<p>x</p>"), "ok"]
+
+    # through the Dataset surface, odd partitioning
+    ds = extract_text(rd.from_arrow(t).repartition(3))
+    df = ds.to_pandas().sort_values("url")
+    assert df["extracted_text"].tolist() == got

@@ -125,29 +125,66 @@ def test_lsh_topk_recall():
         assert qid in set(approx[approx["query_id"] == qid]["vec_id"])
 
 
-def test_multimodal_fake_decode():
-    media = rd.from_arrow(multimodal.synth_media(16))
+def test_ppm_decode_roundtrip():
+    # known 2x2 pixels survive encode -> decode exactly
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], np.uint8
+    )
+    payload = b"P6\n# comment\n2 2\n255\n" + img.tobytes()
+    got = multimodal.decode_ppm(payload)
+    assert got.shape == (2, 2, 3) and (got == img).all()
+    big = multimodal.resize_nearest(got, (4, 4))
+    assert big.shape == (4, 4, 3) and (big[0, 0] == [255, 0, 0]).all()
+    feats = multimodal.image_features(got, dim=64)
+    assert feats.shape == (64,) and abs(feats[0] - (255 + 0 + 0 + 10) / 4 / 255) < 1e-6
+
+
+def test_wav_decode_roundtrip():
+    payload = multimodal.make_wav(0.5, 440.0, sample_rate=8000)
+    samples, rate = multimodal.decode_wav(payload)
+    assert rate == 8000 and len(samples) == 4000
+    f = multimodal.audio_features(samples, rate)
+    assert abs(f[0] - 0.5) < 1e-6           # duration
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 0.01  # rms of a 0.5-amplitude sine
+
+
+def test_multimodal_real_image_decode():
+    media = rd.from_arrow(multimodal.synth_media(18))
     images = media.filter(lambda r: r["kind"] == "image")
-    out = multimodal.decode_images(images, fake=True).to_pandas()
-    assert len(out) == 8
+    # NO fake flag: the PPM path decodes for real
+    out = multimodal.decode_images(images).to_pandas()
+    assert len(out) == 6
+    assert (out["width_in"] == 16).all() and (out["height_in"] == 12).all()
     assert all(len(f) == 64 for f in out["feature"])
-    # deterministic across runs
-    out2 = multimodal.decode_images(images, fake=True).to_pandas()
+    out2 = multimodal.decode_images(images).to_pandas()
     assert out.sort_values("media_id")["feature"].map(tuple).tolist() == \
         out2.sort_values("media_id")["feature"].map(tuple).tolist()
 
 
-def test_multimodal_real_decode_raises():
-    media = rd.from_arrow(multimodal.synth_media(4))
+def test_multimodal_real_audio_decode():
+    media = rd.from_arrow(multimodal.synth_media(18))
+    audio = media.filter(lambda r: r["kind"] == "audio")
+    out = multimodal.decode_audio(audio).to_pandas()
+    assert len(out) == 6
+    assert (out["sample_rate"] == 8000).all()
+    assert (out["n_samples"] == 2000).all()  # 0.25 s at 8 kHz
+
+
+def test_multimodal_codec_mimes_raise_without_fake():
+    media = rd.from_arrow(multimodal.synth_media(6))
+    vids = media.filter(lambda r: r["kind"] == "video")
     with pytest.raises(Exception) as ei:
-        multimodal.decode_images(media, fake=False).materialize()
+        multimodal.decode_images(vids, fake=False).materialize()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    # fake=True pseudo-decodes any mime deterministically
+    out = multimodal.decode_images(vids, fake=True).to_pandas()
+    assert len(out) == 2 and all(len(f) == 64 for f in out["feature"])
 
 
 def test_sample_frames():
-    media = rd.from_arrow(multimodal.synth_media(8))
+    media = rd.from_arrow(multimodal.synth_media(9))
     vids = media.filter(lambda r: r["kind"] == "video")
     out = multimodal.sample_frames(vids, n_frames=4, fake=True).to_pandas()
-    assert len(out) == 4 * 4
+    assert len(out) == 3 * 4
     one = out[out["media_id"] == out["media_id"].iloc[0]]
     assert one["t_ms"].tolist() == [0, 1333, 2666, 4000]
