@@ -104,10 +104,21 @@ def headline() -> dict:
     n_pairs = scores_all.count()
 
     t0 = time.time()
-    matches = scores_all.filter(expr="score > 0.5")
+    matches = scores_all.filter(expr="score > 0.5").materialize()
     clusters = scores_to_clusters(matches, records).materialize()
     t_cluster = time.time() - t0
     n_rows = clusters.count()
+
+    # the 100-TB path, exercised end-to-end every bench run: distributed
+    # min-label-propagation CC over the same match edges must produce the
+    # same number of assignments (full-equality is asserted in
+    # tests/test_dedup_ops.py); timed separately, not part of the headline
+    t0 = time.time()
+    clusters_dist = scores_to_clusters(
+        matches, records, cc_mode="distributed"
+    ).materialize()
+    t_cluster_dist = time.time() - t0
+    assert clusters_dist.count() == n_rows, "distributed CC row mismatch"
 
     total = t_extract + t_score + t_cluster
     return {
@@ -115,6 +126,7 @@ def headline() -> dict:
         "extract_sec": round(t_extract, 3),
         "block_score_sec": round(t_score, 3),
         "cluster_sec": round(t_cluster, 3),
+        "cluster_distributed_sec": round(t_cluster_dist, 3),
         "pages": n_pages,
         "pairs_scored": n_pairs,
         "pairs_per_sec": round(n_pairs / t_score, 1) if t_score > 0 else 0,
