@@ -215,6 +215,83 @@ def exists(field) -> tuple[str]:
     return ("1",) if field else ("0",)
 
 
+# --- vectorized kernels -------------------------------------------------------
+#
+# Arrow-kernel equivalents for the single-key predicates on the blocking hot
+# path (stages/blocking.py): one call per BATCH instead of one Python
+# dispatch per row.  Each returns a string array aligned with the input;
+# null means "no key for this row".  Parity with the scalar functions is
+# asserted in tests/test_predicates.py.
+
+# string.punctuation is exactly ASCII 33-47, 58-64, 91-96, 123-126
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def _vec_preprocess(col: "pa.Array") -> "pa.Array":
+    """Vectorized StringPredicate preprocess:
+    ' '.join(strip_punc(value).split())."""
+    import pyarrow.compute as pc
+
+    out = pc.replace_substring_regex(col, pattern=_PUNCT_CLASS, replacement="")
+    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(out)
+
+
+def _vec_regex_first(pattern: str):
+    def kern(col):
+        import pyarrow.compute as pc
+
+        m = pc.extract_regex(col, pattern=pattern)
+        return pc.struct_field(m, "k")
+
+    return kern
+
+
+def _vec_initials(n: int):
+    def kern(col):
+        import pyarrow.compute as pc
+
+        return pc.utf8_slice_codeunits(
+            pc.replace_substring(col, " ", ""), 0, n
+        )
+
+    return kern
+
+
+def _vec_sorted_acronym(col):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    firsts = pc.utf8_slice_codeunits(pc.list_flatten(toks), 0, 1).to_numpy(
+        zero_copy_only=False
+    )
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    return pa.array(
+        ["".join(sorted(firsts[s:e])) for s, e in zip(offs[:-1], offs[1:])],
+        pa.string(),
+    )
+
+
+def _vec_whole_field(col):
+    return col
+
+
+# RE2 \p{L}\p{N}_ tracks Python's unicode \w for normalized profile text
+VECTOR_KERNELS: dict = {
+    "whole_field": _vec_whole_field,
+    "first_token": _vec_regex_first(r"^(?P<k>[\p{L}\p{N}_']+)"),
+    "first_integer": _vec_regex_first(r"^(?P<k>\d+)"),
+    "same_three_char_start": _vec_initials(3),
+    "same_five_char_start": _vec_initials(5),
+    "same_seven_char_start": _vec_initials(7),
+    "sorted_acronym": _vec_sorted_acronym,
+}
+
+
 # --- wrappers -----------------------------------------------------------------
 
 class FieldPredicate:
@@ -240,6 +317,28 @@ class FieldPredicate:
 
     def __call__(self, record: dict) -> Iterable[str]:
         return self.keys(record.get(self.field))
+
+    def vector_keys(self, batch) -> "pa.Array | None":
+        """Batch-vectorized keys: string array aligned with the batch, null
+        where the row emits no key.  None when this predicate has no Arrow
+        kernel (callers fall back to the per-row path)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        kern = VECTOR_KERNELS.get(self.func.__name__)
+        if kern is None or self.field not in batch.column_names:
+            return None
+        col = batch.column(self.field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.string())
+        # raw-falsy values emit no keys (keys() checks BEFORE preprocess)
+        no_key = pc.or_kleene(pc.is_null(col), pc.equal(col, ""))
+        s = _vec_preprocess(col) if self.preprocess else col
+        keys = kern(s)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pc.if_else(no_key, pa.scalar(None, pa.string()), keys)
 
 
 class StringPredicate(FieldPredicate):
@@ -268,6 +367,24 @@ class CompoundPredicate:
             ":".join(k.replace(":", "\\:") for k in combo)
             for combo in itertools.product(*member_keys)
         ]
+
+    def vector_keys(self, batch) -> "pa.Array | None":
+        """Vectorized when every member is: members each emit <= 1 key, so
+        the cartesian product is an element-wise ':' join (null — i.e. no
+        key from any member — nulls the compound, matching the empty
+        product)."""
+        import pyarrow.compute as pc
+
+        parts = []
+        for p in self.predicates:
+            k = p.vector_keys(batch)
+            if k is None:
+                return None
+            parts.append(pc.replace_substring(k, ":", "\\:"))
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = pc.binary_join_element_wise(out, nxt, ":")
+        return out
 
 
 # Registry of scalar string predicates by reference-style name, for model

@@ -142,17 +142,24 @@ def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
             t.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), t.column("l_discount")),
         )
-        df = pd.DataFrame(
-            {
-                "l_returnflag": t.column("l_returnflag").to_pandas(),
-                "l_linestatus": t.column("l_linestatus").to_pandas(),
-                "sum_qty": t.column("l_quantity").to_pandas(),
-                "sum_revenue": rev.to_pandas(),
-                "n_rows": 1,
-            }
+        # Arrow-native partial: no pandas conversion in the wide stage
+        agg = (
+            pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "sum_qty": t.column("l_quantity"),
+                    "sum_revenue": rev,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [("sum_qty", "sum"), ("sum_revenue", "sum"), ([], "count_all")]
+            )
         )
-        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "n_rows"]
+        )
 
     from ray.data.aggregate import Sum
 

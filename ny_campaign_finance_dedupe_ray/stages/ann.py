@@ -18,6 +18,27 @@ import ray.data
 
 
 def _to_matrix(col) -> np.ndarray:
+    """(n, dim) float64 from a list<float>/fixed_size_list column — zero-copy
+    reshape of the flat values buffer when row lengths are uniform (the
+    parquet embedding layout), falling back to to_pylist otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(-1, dim)[col.offset: col.offset + len(col)].astype(
+            np.float64, copy=False
+        )
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        if len(lens) and (lens == lens[0]).all():
+            dim = int(lens[0])
+            flat = col.values.to_numpy(zero_copy_only=False)
+            start = int(offsets[0])
+            return flat[start: start + len(col) * dim].reshape(-1, dim).astype(
+                np.float64, copy=False
+            )
     return np.stack(col.to_pylist()).astype(np.float64)
 
 

@@ -85,29 +85,57 @@ def doc_config() -> BlockingConfig:
 
 
 def _block_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
-    rids = batch.column("record_id").to_pylist()
-    n = len(rids)
-    out_keys: list[str] = []
-    out_rows: list[int] = []
+    import pyarrow.compute as pc
 
-    # 1) per-row predicates (short normalized fields; python loop acceptable)
-    if cfg.predicates:
+    n = batch.num_rows
+    idx_parts: list[np.ndarray] = []
+    key_parts: list[pa.Array] = []
+
+    # 1) predicates: Arrow-kernel path per batch where the predicate has a
+    # vectorized kernel (functions/predicates.VECTOR_KERNELS); remaining
+    # predicates fall back to the per-row loop (short normalized fields)
+    slow_preds: list[tuple[int, object]] = []
+    for pi, pred in enumerate(cfg.predicates):
+        vk = pred.vector_keys(batch) if hasattr(pred, "vector_keys") else None
+        if vk is None:
+            slow_preds.append((pi, pred))
+            continue
+        valid = pc.is_valid(vk).to_numpy(zero_copy_only=False)
+        rows = np.flatnonzero(valid)
+        if len(rows):
+            idx_parts.append(rows)
+            key_parts.append(
+                pc.binary_join_element_wise(
+                    vk.drop_null(), pa.scalar(str(pi)), ":"
+                )
+            )
+
+    if slow_preds:
         fields_needed = sorted(
-            {p.field for p in cfg.predicates if hasattr(p, "field")}
+            {p.field for _, p in slow_preds if hasattr(p, "field")}
             | {
                 m.field
-                for p in cfg.predicates
+                for _, p in slow_preds
                 if isinstance(p, P.CompoundPredicate)
                 for m in p.predicates
             }
         )
-        cols = {f: batch.column(f).to_pylist() for f in fields_needed if f in batch.column_names}
+        cols = {
+            f: batch.column(f).to_pylist()
+            for f in fields_needed
+            if f in batch.column_names
+        }
+        s_keys: list[str] = []
+        s_rows: list[int] = []
         for i in range(n):
             rec = {f: v[i] for f, v in cols.items()}
-            for pi, pred in enumerate(cfg.predicates):
+            for pi, pred in slow_preds:
                 for k in pred(rec):
-                    out_keys.append("%s:%d" % (k, pi))
-                    out_rows.append(i)
+                    s_keys.append("%s:%d" % (k, pi))
+                    s_rows.append(i)
+        if s_rows:
+            idx_parts.append(np.asarray(s_rows, dtype=np.int64))
+            key_parts.append(pa.array(s_keys, pa.string()))
 
     # 2) vectorized MinHash band keys
     if cfg.minhash_column and cfg.minhash_column in batch.column_names:
@@ -117,28 +145,43 @@ def _block_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
         h, splits = H.shingle_hashes(col, k=cfg.minhash_k)
         sigs = H.minhash(h, splits, n_perm=cfg.minhash_perms)
         rows, keys = H.lsh_band_keys(sigs, n_bands=cfg.minhash_bands)
-        out_rows.extend(int(r) for r in rows)
-        out_keys.extend(str(k) for k in keys)
+        if len(rows):
+            idx_parts.append(rows.astype(np.int64))
+            key_parts.append(pa.array([str(k) for k in keys], pa.string()))
 
     # 3) host key from the url-shaped record_id
     if cfg.host_key:
+        rids = batch.column("record_id").to_pylist()
+        h_rows, h_keys = [], []
         for i, rid in enumerate(rids):
             try:
                 host = urlparse(rid).netloc
             except ValueError:
                 host = ""
             if host:
-                out_rows.append(i)
-                out_keys.append("host:%s" % host)
+                h_rows.append(i)
+                h_keys.append("host:%s" % host)
+        if h_rows:
+            idx_parts.append(np.asarray(h_rows, dtype=np.int64))
+            key_parts.append(pa.array(h_keys, pa.string()))
 
-    idx = np.asarray(out_rows, dtype=np.int64)
+    if idx_parts:
+        idx = np.concatenate(idx_parts)
+        keys_arr = pa.concat_arrays(
+            [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+             for k in key_parts]
+        )
+    else:
+        idx = np.empty(0, dtype=np.int64)
+        keys_arr = pa.array([], pa.string())
+    take_idx = pa.array(idx)
     cols_out: dict[str, pa.Array] = {
-        "block_key": pa.array(out_keys, pa.string()),
-        "record_id": pa.array([rids[i] for i in out_rows], pa.string()),
+        "block_key": keys_arr,
+        "record_id": batch.column("record_id").cast(pa.string()).take(take_idx),
     }
     payload = [c for c in cfg.payload_columns if c in batch.column_names]
-    taken = batch.select(payload).take(pa.array(idx)) if payload else None
-    if taken is not None:
+    if payload:
+        taken = batch.select(payload).take(take_idx)
         for name_ in payload:
             cols_out[name_] = taken.column(name_)
     return pa.table(cols_out)

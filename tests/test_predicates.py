@@ -114,3 +114,40 @@ def test_exists_predicate():
     assert P.exists("x") == ("1",)
     assert P.exists(None) == ("0",)
     assert P.exists("") == ("0",)
+
+
+def test_vector_keys_parity():
+    # Arrow-kernel predicate path must agree with the scalar per-row path
+    # on messy values (punctuation, multi-space, empties, null, unicode).
+    import pyarrow as pa
+
+    from ny_campaign_finance_dedupe_ray.functions import predicates as P
+
+    values = [
+        "mary smith", "  o'brien,  jr. ", "123 main st", "9th ave",
+        "", None, "!!!", "josé garcía", "a", "x:y z",
+    ]
+    batch = pa.table({"f": pa.array(values, pa.string())})
+    preds = [
+        P.StringPredicate(P.first_token, "f"),
+        P.StringPredicate(P.first_integer, "f"),
+        P.StringPredicate(P.same_three_char_start, "f"),
+        P.StringPredicate(P.same_five_char_start, "f"),
+        P.StringPredicate(P.sorted_acronym, "f"),
+        P.FieldPredicate(P.whole_field, "f"),
+        P.CompoundPredicate(
+            P.StringPredicate(P.first_token, "f"),
+            P.StringPredicate(P.same_three_char_start, "f"),
+        ),
+    ]
+    for pred in preds:
+        vk = pred.vector_keys(batch)
+        assert vk is not None, pred.name
+        got = vk.to_pylist()
+        for i, v in enumerate(values):
+            exp = list(pred({"f": v}))
+            assert len(exp) <= 1
+            assert got[i] == (exp[0] if exp else None), (pred.name, v, got[i], exp)
+
+    # a predicate without a kernel falls back (returns None)
+    assert P.StringPredicate(P.token_field, "f").vector_keys(batch) is None
