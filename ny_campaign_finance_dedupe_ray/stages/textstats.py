@@ -26,25 +26,54 @@ _LANG_PROFILES: dict[str, set[str]] = {
 
 
 class LangId:
-    """Actor-pool language classifier: profiles built once per actor
-    (__init__), per-batch vectorized trigram voting."""
+    """Actor-pool language classifier: profile trigram HASHES built once per
+    actor (__init__), per-batch fully vectorized voting — the batch's byte
+    trigrams come from the same rolling hash as the dedup shinglers, and a
+    3-byte window matching an ascii profile trigram is necessarily a real
+    character trigram (multibyte UTF-8 bytes are >= 0x80), so distinct-match
+    counts equal the per-row Python set intersection exactly."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = list(_LANG_PROFILES)
+        self.profile_hashes = []
+        for lang in self.langs:
+            grams = sorted(_LANG_PROFILES[lang])
+            h, _ = H.shingle_hashes(pa.array(grams, pa.string()), k=3)
+            self.profile_hashes.append(np.unique(h))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = []
-        for t in texts:
-            t = (t or "").lower()
-            grams = {t[i: i + 3] for i in range(len(t) - 2)}
-            best, best_n = "unknown", 0
-            for lang, prof in self.profiles.items():
-                n = len(grams & prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best if best_n >= 2 else "unknown")
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lowered = pc.utf8_lower(text.fill_null(""))
+        if isinstance(lowered, pa.ChunkedArray):
+            lowered = lowered.combine_chunks()
+        h, splits = H.shingle_hashes(lowered, k=3)
+        n = batch.num_rows
+        # distinct trigrams per row: one lexsort over the batch buffer
+        counts_per_row = np.diff(splits)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts_per_row)
+        if len(h):
+            order = np.lexsort((h, rows))
+            sr, sh = rows[order], h[order]
+            uniq = np.empty(len(sr), dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+            ur, uh = sr[uniq], sh[uniq]
+        else:
+            ur = np.empty(0, np.int64)
+            uh = h
+        votes = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, prof in enumerate(self.profile_hashes):
+            hit = np.isin(uh, prof)
+            votes[:, li] = np.bincount(ur[hit], minlength=n)
+        best_idx = votes.argmax(axis=1)  # ties -> earlier lang, like the
+        best_n = votes.max(axis=1) if n else np.empty(0, np.int64)  # dict scan
+        lang_arr = np.array(self.langs + ["unknown"], dtype=object)
+        pred = lang_arr[np.where(best_n >= 2, best_idx, len(self.langs))]
+        return batch.append_column(
+            "lang_pred", pa.array(pred.tolist(), pa.string())
+        )
 
 
 def lang_id(ds: "ray.data.Dataset", concurrency=(1, 4)) -> "ray.data.Dataset":
@@ -150,23 +179,41 @@ def fingerprints(ds: "ray.data.Dataset", k: int = 8, window: int = 4) -> "ray.da
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         h, splits = H.shingle_hashes(col, k=k)
-        out = np.zeros(t.num_rows, dtype=np.uint64)
-        for i in range(t.num_rows):
-            row = h[splits[i]: splits[i + 1]]
-            if len(row) == 0:
-                continue
-            n_win = max(len(row) - window + 1, 1)
-            acc = np.uint64(0)
-            mins = np.empty(n_win, dtype=np.uint64)
-            for w in range(window):
-                seg = row[w: w + n_win]
-                if w == 0:
-                    mins[: len(seg)] = seg
-                else:
-                    np.minimum(mins[: len(seg)], seg, out=mins[: len(seg)])
-            for m in np.unique(mins):
-                acc ^= np.uint64(m)
-            out[i] = acc
+        n = t.num_rows
+        out = np.zeros(n, dtype=np.uint64)
+        lens = np.diff(splits)
+        if len(h):
+            # batch-vectorized sliding-window minima that never cross rows:
+            # pad (window-1) MAX sentinels between rows, run O(window)
+            # shifted-minimum passes over the padded buffer, then gather the
+            # first n_win positions of each row
+            pad = window - 1
+            padded = np.full(len(h) + n * pad, np.iinfo(np.uint64).max,
+                             dtype=np.uint64)
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+            dest = np.arange(len(h), dtype=np.int64) + row_ids * pad
+            padded[dest] = h
+            m = padded.copy()
+            for w in range(1, window):
+                np.minimum(m[:-w], padded[w:], out=m[:-w])
+            n_win = np.where(lens > 0, np.maximum(lens - window + 1, 1), 0)
+            seg_starts = (splits[:-1] + np.arange(n) * pad).astype(np.int64)
+            gather = np.repeat(seg_starts, n_win) + H._ranges(n_win)
+            mins = m[gather]
+            # xor of UNIQUE minima per row
+            mrows = np.repeat(np.arange(n, dtype=np.int64), n_win)
+            order = np.lexsort((mins, mrows))
+            sr, sm = mrows[order], mins[order]
+            uniq = np.empty(len(sr), dtype=bool)
+            if len(sr):
+                uniq[0] = True
+                uniq[1:] = (sr[1:] != sr[:-1]) | (sm[1:] != sm[:-1])
+                ur, um = sr[uniq], sm[uniq]
+                ucounts = np.bincount(ur, minlength=n)
+                uoffs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(ucounts, out=uoffs[1:])
+                nz = ucounts > 0
+                out[nz] = np.bitwise_xor.reduceat(um, uoffs[:-1][nz])
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
