@@ -165,6 +165,46 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(emb, threshold=0.4, n_planes=4, n_probes=4)
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal decode end-to-end: deterministic real PPM/WAV payloads
+    (synth_media) -> actor-pool decode stages -> per-item feature summary.
+    No media table exists in the testdata, so the input is synthesized
+    deterministically at fixed size (not SQL-expressible -> rows-only)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.multimodal import (
+        decode_audio,
+        decode_images,
+        synth_media,
+    )
+
+    media = rd.from_arrow(synth_media(n=120, seed=7))
+
+    def summarize(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            feats = [np.asarray(x) for x in t.column("feature").to_pylist()]
+            return pa.table(
+                {
+                    "media_id": t.column("media_id"),
+                    "kind": pa.array([kind] * t.num_rows, pa.string()),
+                    "feat_dim": pa.array([len(x) for x in feats], pa.int64()),
+                    "feat_norm": pa.array(
+                        [round(float(np.linalg.norm(x)), 6) for x in feats],
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        return f
+
+    imgs = decode_images(media.filter(lambda r: r["kind"] == "image"))
+    auds = decode_audio(media.filter(lambda r: r["kind"] == "audio"))
+    return imgs.map_batches(summarize("image"), batch_format="pyarrow").union(
+        auds.map_batches(summarize("audio"), batch_format="pyarrow")
+    )
+
+
 def _q_orders_uuid(sf_dir: str):
     from ny_campaign_finance_dedupe_ray.pipelines.relational import orders_uuid
 
@@ -221,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazette_top_orders": _q_gazette_top_orders,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "media_features": _q_media_features,
     }
 
 

@@ -24,6 +24,7 @@ NO_ORACLE = [
     "quality_score",
     "fingerprints",
     "embedding_neardup",
+    "media_features",
 ]
 
 # sha256 of the canonicalized sf0.001 output (see _canonical_hash)
@@ -35,6 +36,7 @@ EXPECTED = {
     "quality_score": "aa888371a3e062e5ed7b345aef2a6dea09a914f994ccd06fecae2c15cf69586d",
     "fingerprints": "398e1bf5972368d931e143fd52250581e3357690e39d09f81c86581165c274ae",
     "embedding_neardup": "946c797c8cc62b9f9977f5f7e71642af9b0ea622682e247e8996db6f3a1d80c4",
+    "media_features": "4602b6a36b93060f8aea6138ca266e0bca208121ff8f189ef5320e15d20dcbbb",
 }
 
 
