@@ -245,11 +245,13 @@ def drop_hot_keys(
     task — never re-shipped per batch)."""
     if not hot:
         return blocks
-    hot_ref = ray.put(hot)
+    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     def _filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         hs = ray.get(hot_ref)
-        mask = pa.array([k not in hs for k in t.column("block_key").to_pylist()])
+        mask = pc.invert(pc.is_in(t.column("block_key"), value_set=hs))
         return t.filter(mask)
 
     return blocks.map_batches(_filter, batch_format="pyarrow")

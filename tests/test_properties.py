@@ -121,3 +121,43 @@ def test_double_metaphone_total(text):
     p, s = doublemetaphone(text)
     assert isinstance(p, str) and isinstance(s, str)
     assert len(p) <= 4 and len(s) <= 4
+
+
+@given(st.lists(TEXT, min_size=1, max_size=12), st.lists(TEXT, min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_batch_jaccard_matches_set_oracle(xs, ys):
+    """Vectorized sorted-hash jaccard == Python-set jaccard for any texts."""
+    from ny_campaign_finance_dedupe_ray.stages.dedup import batch_jaccard
+
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    got = batch_jaccard(pa.array(xs, pa.string()), pa.array(ys, pa.string()), k=3)
+    for i, (a, b) in enumerate(zip(xs, ys)):
+        A = {a[j: j + 3] for j in range(len(a.encode()) - 2) if len(a.encode()) >= 3}
+        # build via the same rolling hash to avoid unicode byte/char mismatch
+        exp = H.jaccard_shingles(a, b, k=3)
+        if not A and len(b.encode()) < 3:
+            exp = 1.0 if a == b else 0.0
+        elif len(a.encode()) < 3 and len(b.encode()) < 3:
+            exp = 1.0 if a == b else 0.0
+        assert abs(got[i] - exp) < 1e-12, (a, b, got[i], exp)
+
+
+@given(st.lists(TEXT, min_size=1, max_size=10))
+@settings(max_examples=40, deadline=None)
+def test_vector_predicate_parity_property(values):
+    """vector_keys == scalar path for every kernel-backed predicate."""
+    batch = pa.table({"f": pa.array(values, pa.string())})
+    preds = [
+        P.StringPredicate(P.first_token, "f"),
+        P.StringPredicate(P.first_integer, "f"),
+        P.StringPredicate(P.same_five_char_start, "f"),
+        P.StringPredicate(P.sorted_acronym, "f"),
+        P.FieldPredicate(P.whole_field, "f"),
+    ]
+    for pred in preds:
+        vk = pred.vector_keys(batch)
+        got = vk.to_pylist()
+        for i, v in enumerate(values):
+            exp = list(pred({"f": v}))
+            assert got[i] == (exp[0] if exp else None), (pred.name, v)
