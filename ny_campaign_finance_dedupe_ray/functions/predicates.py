@@ -227,14 +227,21 @@ def exists(field) -> tuple[str]:
 _PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
 
 
+# Python str.split() whitespace = RE2 \s (ASCII) + Unicode separators \p{Z}
+# + the control whitespace FS/GS/RS/US (1C-1F) and NEL (85)
+_WS_CLASS = r"[\s\p{Z}\x{1c}-\x{1f}\x{85}]+"
+
+
 def _vec_preprocess(col: "pa.Array") -> "pa.Array":
     """Vectorized StringPredicate preprocess:
     ' '.join(strip_punc(value).split())."""
     import pyarrow.compute as pc
 
     out = pc.replace_substring_regex(col, pattern=_PUNCT_CLASS, replacement="")
-    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
-    return pc.utf8_trim_whitespace(out)
+    out = pc.replace_substring_regex(out, pattern=_WS_CLASS, replacement=" ")
+    # trim must match str.split()'s notion of whitespace too
+    out = pc.replace_substring_regex(out, pattern=r"^ | $", replacement="")
+    return out
 
 
 def _vec_regex_first(pattern: str):
@@ -284,7 +291,8 @@ def _vec_whole_field(col):
 VECTOR_KERNELS: dict = {
     "whole_field": _vec_whole_field,
     "first_token": _vec_regex_first(r"^(?P<k>[\p{L}\p{N}_']+)"),
-    "first_integer": _vec_regex_first(r"^(?P<k>\d+)"),
+    # \p{Nd} == Python re's unicode \d (decimal digits), unlike RE2's ASCII \d
+    "first_integer": _vec_regex_first(r"^(?P<k>\p{Nd}+)"),
     "same_three_char_start": _vec_initials(3),
     "same_five_char_start": _vec_initials(5),
     "same_seven_char_start": _vec_initials(7),
