@@ -123,45 +123,31 @@ def lsh_candidate_pairs(
     """band groupby -> within-band pairs (id_a < id_b), deduped.
 
     Oversized bands (degenerate text) are dropped — the stop-word analogue.
+    Physical shape: the band table is renamed onto the generic
+    (block_key, record_id) pair-generation kernel (stages/pairs.py) — band
+    keys hash to int64 before the shuffle and ONE vectorized task per
+    bucket emits all bands' pairs with no per-band Python dispatch.
     Output: (id_a, id_b, text_a, text_b)."""
+    from .pairs import _hash_block_key, _pairs_in_bucket
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        col = t.column("band_key")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        h = H.hash64_str(col)
-        return t.append_column(
-            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["block_key" if c == "band_key" else
+             "record_id" if c == "id" else c
+             for c in t.column_names]
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        payload = [c for c in g.columns if c not in ("band_key", "id", "bucket")]
-        cols = ["id_a", "id_b"] + [c + s for c in payload for s in ("_a", "_b")]
-        outs = []
-        for _, sub in g.groupby("band_key", sort=False):
-            sub = sub.drop_duplicates("id")
-            n = len(sub)
-            if n < 2 or n > max_band_size:
-                continue
-            sub = sub.sort_values("id")
-            ia, ib = np.triu_indices(n, k=1)
-            rec = {
-                "id_a": sub["id"].to_numpy()[ia],
-                "id_b": sub["id"].to_numpy()[ib],
-            }
-            for c in payload:
-                v = sub[c].to_numpy()
-                rec[c + "_a"] = v[ia]
-                rec[c + "_b"] = v[ib]
-            outs.append(pd.DataFrame(rec))
-        if not outs:
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
-        return pd.concat(outs, ignore_index=True)
-
     pairs = (
-        bands.map_batches(add_bucket, batch_format="pyarrow")
+        bands.map_batches(rename, batch_format="pyarrow")
+        .map_batches(
+            _hash_block_key, fn_kwargs={"n_buckets": n_buckets},
+            batch_format="pyarrow",
+        )
         .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_groups(
+            lambda g: _pairs_in_bucket(g, max_band_size),
+            batch_format="pandas",
+        )
     )
 
     # global pair dedup, bucketed on the pair key
@@ -451,6 +437,8 @@ def simhash_neardup_pairs(
     pigeonhole); verify hamming within buckets.
     Output: (id_a, id_b, hamming)."""
 
+    from .pairs import _hash_block_key, _pairs_in_bucket
+
     def emit_chunks(t: pa.Table) -> pa.Table:
         sig = t.column("simhash").to_numpy().astype(np.uint64)
         n = len(sig)
@@ -464,53 +452,41 @@ def simhash_neardup_pairs(
             out_sigs.append(t.column("simhash"))
         return pa.table(
             {
-                "chunk_key": pa.array(out_keys, pa.string()),
-                "id": pa.concat_arrays([i.combine_chunks() if isinstance(i, pa.ChunkedArray) else i for i in out_ids]),
+                "block_key": pa.array(out_keys, pa.string()),
+                "record_id": pa.concat_arrays([i.combine_chunks() if isinstance(i, pa.ChunkedArray) else i for i in out_ids]),
                 "simhash": pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s for s in out_sigs]),
             }
         )
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, sub in g.groupby("chunk_key", sort=False):
-            sub = sub.drop_duplicates("id").sort_values("id")
-            n = len(sub)
-            if n < 2 or n > 500:
-                continue
-            ia, ib = np.triu_indices(n, k=1)
-            sa = sub["simhash"].to_numpy().astype(np.uint64)
-            ham = H.hamming64(sa[ia], sa[ib])
-            keep = ham <= max_hamming
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": sub["id"].to_numpy()[ia][keep],
-                            "id_b": sub["id"].to_numpy()[ib][keep],
-                            "hamming": ham[keep],
-                        }
-                    )
-                )
-        if not outs:
+    def verify_hamming(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized task per bucket: generic per-size pair kernel, then
+        # elementwise hamming over the carried signatures
+        p = _pairs_in_bucket(g, max_block_size=500)
+        if p.empty:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype=object),
                  "id_b": pd.Series([], dtype=object),
                  "hamming": pd.Series([], dtype="int64")}
             )
-        return pd.concat(outs, ignore_index=True).drop_duplicates(["id_a", "id_b"])
+        ham = H.hamming64(
+            p["simhash_a"].to_numpy().astype(np.uint64),
+            p["simhash_b"].to_numpy().astype(np.uint64),
+        )
+        out = pd.DataFrame(
+            {"id_a": p["id_a"], "id_b": p["id_b"], "hamming": ham}
+        )
+        return out[out["hamming"] <= max_hamming].drop_duplicates(
+            ["id_a", "id_b"]
+        ).reset_index(drop=True)
 
-    def bucket(t: pa.Table) -> pa.Table:
-        col = t.column("chunk_key")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        h = H.hash64_str(col)
-        return t.append_column("bucket", pa.array((h % np.uint64(64)).astype(np.int64)))
-
-    bucketed = sigs.map_batches(emit_chunks, batch_format="pyarrow").map_batches(
-        bucket, batch_format="pyarrow"
-    )
-    pairs = bucketed.groupby("bucket").map_groups(
-        pairs_in_group, batch_format="pandas"
+    pairs = (
+        sigs.map_batches(emit_chunks, batch_format="pyarrow")
+        .map_batches(
+            _hash_block_key, fn_kwargs={"n_buckets": 64},
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(verify_hamming, batch_format="pandas")
     )
     # cross-bucket duplicates (same pair via two chunk tables in different
     # buckets) — final dedup pass
@@ -578,6 +554,11 @@ def embedding_neardup_pairs(
             }
         )
 
+    # NOTE: deliberately NOT routed through pairs._pairs_in_bucket — for a
+    # 128-float vector payload, gathering vec_a/vec_b per candidate pair
+    # (2 x n_pairs x dim copies) costs ~2x more than one BLAS V @ V.T per
+    # LSH-code group, and code groups are bounded (2^n_planes x n_probes),
+    # not millions of tiny keys, so the per-group loop is cheap.
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, sub in g.groupby("bkey", sort=False):
