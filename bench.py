@@ -148,6 +148,10 @@ QUERY_NAMES = [
     "event_type_counts",
     "gazette_top_orders",
     "ann_topk",
+    "embedding_neardup",
+    "tumbling_window",
+    "session_window",
+    "media_features",
 ]
 
 

@@ -163,3 +163,22 @@ def test_batch_jaccard_matches_set_reference():
         else:
             exp = jaccard_shingles(a, b, k=5)
         assert abs(got[i] - exp) < 1e-12, (i, got[i], exp)
+
+
+def test_minhash_join_distributed_combo():
+    # payload_mode='join' stringifies ids in the slim join; the distributed
+    # CC finish must still label and cast back identically to driver mode.
+    near = BASE.replace("lazy", "hazy")
+    ds = _docs([BASE, near, "something wholly unlike the others entirely", BASE])
+    outs = {}
+    for cc in ("driver", "distributed"):
+        out = (
+            D.minhash_lsh_clusters(
+                ds, jaccard_threshold=0.5, payload_mode="join", cc_mode=cc
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        outs[cc] = out
+    assert outs["driver"]["cluster_id"].tolist() == outs["distributed"]["cluster_id"].tolist()
+    lab = dict(zip(outs["distributed"]["id"], outs["distributed"]["cluster_id"]))
+    assert lab[0] == lab[1] == lab[3] == 0 and lab[2] == 2
