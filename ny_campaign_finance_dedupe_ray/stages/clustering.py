@@ -73,7 +73,12 @@ def _refilter_components(
     df: pd.DataFrame, max_components: int, _depth: int = 0
 ) -> pd.DataFrame:
     """Assign a 'component' column via union-find; recursively re-filter
-    oversized components at a raised threshold (clustering.py:74-98)."""
+    oversized components at a raised threshold (clustering.py:74-98).
+
+    The oversize scan is vectorized: unique-node counts per component come
+    from one drop_duplicates + value_counts, and only genuinely oversized
+    components (rare — they exist only under degenerate blocking) are
+    visited in Python; the common all-small case passes straight through."""
     uf = UnionFind()
     ids_a = df["id_a"].to_numpy()
     ids_b = df["id_b"].to_numpy()
@@ -81,30 +86,34 @@ def _refilter_components(
         uf.union(a, b)
     comp = np.array([uf.find(a) for a in ids_a], dtype=object)
     df = df.assign(component=comp)
-    sizes = df.groupby("component")["id_a"].transform("size")
-    # node count per component ~ edges+1 lower bound; use unique node count
-    out_parts: list[pd.DataFrame] = []
-    for comp_id, sub in df.groupby("component", sort=False):
-        n_nodes = len(np.unique(np.concatenate([sub["id_a"].to_numpy(), sub["id_b"].to_numpy()])))
-        if n_nodes > max_components and _depth < 20:
-            min_score = float(sub["score"].min())
-            logit = np.log(min_score) - np.log(1 - min_score)
-            threshold = 1.0 / (1.0 + np.exp(-logit - 1))
-            sub2 = sub.sort_values("score")
-            cut = int(np.searchsorted(sub2["score"].to_numpy(), threshold))
-            sub2 = sub2.iloc[max(cut, 2):]
-            if len(sub2):
-                refiltered = _refilter_components(
-                    sub2.drop(columns="component"), max_components, _depth + 1
-                )
-                refiltered = refiltered.assign(
-                    component=str(comp_id) + "/" + refiltered["component"].astype(str)
-                )
-                out_parts.append(refiltered)
-        else:
-            out_parts.append(sub)
-    if not out_parts:
-        return df.iloc[0:0]
+    # unique node count per component, vectorized over both endpoints
+    nodes = pd.DataFrame(
+        {
+            "node": np.concatenate([ids_a, ids_b]),
+            "component": np.concatenate([comp, comp]),
+        }
+    ).drop_duplicates()
+    n_nodes = nodes["component"].value_counts()
+    big = set(n_nodes[n_nodes > max_components].index)
+    if not big or _depth >= 20:
+        return df
+    big_mask = df["component"].isin(big)
+    out_parts: list[pd.DataFrame] = [df[~big_mask]]
+    for comp_id, sub in df[big_mask].groupby("component", sort=False):
+        min_score = float(sub["score"].min())
+        logit = np.log(min_score) - np.log(1 - min_score)
+        threshold = 1.0 / (1.0 + np.exp(-logit - 1))
+        sub2 = sub.sort_values("score")
+        cut = int(np.searchsorted(sub2["score"].to_numpy(), threshold))
+        sub2 = sub2.iloc[max(cut, 2):]
+        if len(sub2):
+            refiltered = _refilter_components(
+                sub2.drop(columns="component"), max_components, _depth + 1
+            )
+            refiltered = refiltered.assign(
+                component=str(comp_id) + "/" + refiltered["component"].astype(str)
+            )
+            out_parts.append(refiltered)
     return pd.concat(out_parts, ignore_index=True)
 
 
