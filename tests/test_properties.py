@@ -161,3 +161,67 @@ def test_vector_predicate_parity_property(values):
         for i, v in enumerate(values):
             exp = list(pred({"f": v}))
             assert got[i] == (exp[0] if exp else None), (pred.name, v)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user
+            st.integers(min_value=0, max_value=20000),  # epoch seconds
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None)  # each example runs 2 Dataset jobs
+def test_windows_match_naive_oracle(rows):
+    """Bucketed tumbling/session windows == a naive per-key pandas oracle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.windows import (
+        session_window, tumbling_window,
+    )
+
+    df = pd.DataFrame(rows, columns=["user_id", "epoch", "value"])
+    df["user_id"] = df["user_id"].map(lambda u: f"u{u}")
+    df["ts"] = pd.to_datetime(df["epoch"], unit="s").astype("datetime64[us]")
+    ds = rd.from_pandas(df[["user_id", "ts", "value"]]).repartition(3)
+
+    got_t = (
+        tumbling_window(ds, window_seconds=600)
+        .to_pandas().sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    )
+    exp_t = (
+        df.assign(window_id=df["epoch"] // 600)
+        .groupby(["user_id", "window_id"], as_index=False)
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    )
+    exp_t["sum_value"] = exp_t["sum_value"].round(6)
+    assert got_t["n_events"].tolist() == exp_t["n_events"].tolist()
+    assert np.allclose(got_t["sum_value"], exp_t["sum_value"], atol=1e-6)
+
+    got_s = (
+        session_window(ds, gap_seconds=900)
+        .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    exp_rows = []
+    for uid, sub in df.sort_values("epoch").groupby("user_id"):
+        sid = 0
+        prev = None
+        for e in sub["epoch"]:
+            if prev is not None and e - prev > 900:
+                sid += 1
+            exp_rows.append((uid, sid, e))
+            prev = e
+    exp_s = (
+        pd.DataFrame(exp_rows, columns=["user_id", "session_id", "epoch"])
+        .groupby(["user_id", "session_id"], as_index=False)
+        .agg(n_events=("epoch", "size"), start_epoch=("epoch", "min"),
+             end_epoch=("epoch", "max"))
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    for c in ("n_events", "start_epoch", "end_epoch"):
+        assert got_s[c].tolist() == exp_s[c].tolist(), c
