@@ -133,6 +133,14 @@ def _q_pricing_summary(sf_dir: str):
     return lineitem_pricing_summary(sf_dir)
 
 
+def _q_supplier_region_stats(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import (
+        supplier_region_stats,
+    )
+
+    return supplier_region_stats(sf_dir)
+
+
 def _q_gazette_top_orders(sf_dir: str):
     from ny_campaign_finance_dedupe_ray.pipelines.relational import gazette_top_orders
 
@@ -259,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts": _q_event_type_counts,
         "pricing_summary": _q_pricing_summary,
         "gazette_top_orders": _q_gazette_top_orders,
+        "supplier_region_stats": _q_supplier_region_stats,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
@@ -351,6 +360,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR) ASC) AS rn "
             "FROM orders) WHERE rn <= 2 AND o_totalprice > 0 "
             "ORDER BY o_custkey, o_orderkey"
+        ),
+        "supplier_region_stats": (
+            "SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            "ROUND(SUM(s.s_acctbal) / COUNT(*), 4) AS avg_acctbal "
+            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name ORDER BY r.r_name"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "

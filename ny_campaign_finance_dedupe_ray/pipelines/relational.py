@@ -288,3 +288,61 @@ def gazette_top_orders(sf_dir: str, n_matches: int = 2) -> pd.DataFrame:
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     out["o_totalprice"] = out["o_totalprice"].round(2)
     return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def supplier_region_stats(sf_dir: str) -> pd.DataFrame:
+    """Supplier count + rounded average account balance per region — the
+    TPC-H-Q5-shaped dim-chain (region ⨝ nation ⨝ supplier) expressed
+    Ray-Data-first: the two tiny dim tables collapse into ONE broadcast
+    nationkey -> region_name map (ray.put once, read per task) and the
+    supplier fact side partial-aggregates per batch before a 5-row groupby.
+    No shuffle join anywhere."""
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    n2r = {
+        int(nk): rname[int(rk)]
+        for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    map_ref = ray.put(n2r)
+
+    suppliers = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        keys = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "r_name": [m.get(int(kk)) for kk in keys],
+                "bal": t.column("s_acctbal").to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("bal", "size"), sum_bal=("bal", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        suppliers.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("sum_bal", alias_name="sum_bal"),
+        )
+        .to_pandas()
+    )
+    out["avg_acctbal"] = (out["sum_bal"] / out["n_suppliers"]).round(4)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (
+        out[["r_name", "n_suppliers", "avg_acctbal"]]
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
