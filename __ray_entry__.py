@@ -133,6 +133,14 @@ def _q_pricing_summary(sf_dir: str):
     return lineitem_pricing_summary(sf_dir)
 
 
+def _q_part_type_revenue(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import (
+        part_type_revenue,
+    )
+
+    return part_type_revenue(sf_dir)
+
+
 def _q_supplier_region_stats(sf_dir: str):
     from ny_campaign_finance_dedupe_ray.pipelines.relational import (
         supplier_region_stats,
@@ -268,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "gazette_top_orders": _q_gazette_top_orders,
         "supplier_region_stats": _q_supplier_region_stats,
+        "part_type_revenue": _q_part_type_revenue,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
@@ -367,6 +376,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey "
             "GROUP BY r.r_name ORDER BY r.r_name"
+        ),
+        "part_type_revenue": (
+            "SELECT p.p_type, "
+            "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_type ORDER BY p.p_type"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "

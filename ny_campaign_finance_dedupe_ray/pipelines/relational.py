@@ -346,3 +346,53 @@ def supplier_region_stats(sf_dir: str) -> pd.DataFrame:
         .sort_values("r_name")
         .reset_index(drop=True)
     )
+
+
+def part_type_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue by part type — the TPC-H-Q14 shape: lineitem ⨝ part where
+    BOTH sides are fact-scaled, joined by bucketed groupby co-location
+    (stages/joins.bucketed_join: one shuffle per side, no broadcast), then
+    a per-batch partial aggregate into a tiny p_type groupby."""
+    from ..stages.joins import bucketed_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table({"p_partkey": t.column("l_partkey"), "rev": rev})
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    joined = bucketed_join(
+        li.map_batches(project, batch_format="pyarrow"), part, on="p_partkey"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"p_type": t.column("p_type"), "rev": t.column("rev")})
+            .group_by("p_type")
+            .aggregate([("rev", "sum"), ([], "count_all")])
+        )
+        return agg.rename_columns(["p_type", "revenue", "n_items"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("p_type").reset_index(drop=True)

@@ -1,0 +1,89 @@
+"""Generic both-large join as bucketed groupby co-location.
+
+The reference's joins are Postgres SQL (entity_map ⨝ donors ⨝ contributions,
+/root/reference/dedupe_extension/campaign_finance_dedupe.py:369-398); the
+engine's small-side joins broadcast (ray.put) and its pair/payload joins use
+the two-hop pattern in stages/pairs.attach_payload.  This module is the
+general case: BOTH sides large, co-located by ``hash(key) % n_buckets`` and
+merged vectorized per bucket — one shuffle per side, no driver
+materialization, no broadcast.
+
+Ray 2.49 does ship an experimental ``Dataset.join`` (hash-join aggregator
+actors); this engine keeps the groupby formulation because aggregator
+actors reserve CPUs outside the task pool and starve concurrent actor-pool
+stages under a fixed CPU budget (the same scheduling conflict that rules
+out ShuffleStrategy.HASH_SHUFFLE here — see bench.py note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import hash64_str
+
+
+def bucketed_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Join two Datasets on column ``on`` (same name both sides; other
+    column names must not collide).  how: 'inner' or 'left'."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_cols = [c for c in l_schema.names if c != on]
+    r_cols = [c for c in r_schema.names if c != on]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+
+    def tag(side: str, other_cols: list[str], other_types: dict):
+        def _t(t: pa.Table) -> pa.Table:
+            cols = {on: t.column(on), "_side": pa.array([side] * t.num_rows)}
+            for c in t.column_names:
+                if c != on:
+                    cols[c] = t.column(c)
+            for c in other_cols:  # typed null placeholders for the other side
+                cols[c] = pa.nulls(t.num_rows, type=other_types[c])
+            key = t.column(on)
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            h = hash64_str(key.cast(pa.string()))
+            cols["_bucket"] = pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+            return pa.table(cols)
+
+        return _t
+
+    # align column order across both sides so union block schemas agree
+    ordered = [on, "_side", *l_cols, *r_cols, "_bucket"]
+
+    def reorder(t: pa.Table) -> pa.Table:
+        return t.select(ordered)
+
+    unioned = (
+        left.map_batches(tag("l", r_cols, r_types), batch_format="pyarrow")
+        .map_batches(reorder, batch_format="pyarrow")
+        .union(
+            right.map_batches(tag("r", l_cols, l_types), batch_format="pyarrow")
+            .map_batches(reorder, batch_format="pyarrow")
+        )
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["_side"] == "l"][[on, *l_cols]]
+        rt = g[g["_side"] == "r"][[on, *r_cols]]
+        return lt.merge(rt, on=on, how=how)
+
+    return (
+        unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    )

@@ -104,3 +104,38 @@ def test_pairs_partition_invariance():
     ka = sorted(zip(a["id_a"], a["id_b"]))
     kb = sorted(zip(b["id_a"], b["id_b"]))
     assert ka == kb
+
+
+def test_bucketed_join():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.joins import bucketed_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 3, 4], pa.int64()),
+        "rv": pa.array([20.0, 30.0, 31.0, 40.0], pa.float64()),
+    })).repartition(2)
+
+    inner = bucketed_join(left, right, on="k").to_pandas()
+    inner = inner.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "k": [2, 2, 3, 3],
+        "lv": ["b", "c", "d", "d"],
+        "rv": [20.0, 20.0, 30.0, 31.0],
+    })
+    assert inner.to_dict("list") == exp.to_dict("list")
+
+    lj = bucketed_join(left, right, on="k", how="left").to_pandas()
+    assert len(lj) == 6  # 4 matches + unmatched keys 1 and 5
+    assert lj[lj["k"] == 1]["rv"].isna().all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucketed_join(left, left, on="k")  # column collision
