@@ -44,3 +44,15 @@ def test_affine_gap_f1(fixture_tables):
     ).to_pandas()
     m = pairwise_prf(clusters, fixture_tables["labels"].to_pandas())
     assert m["f1"] >= 0.99, m
+
+
+def test_flagship_empty_and_single_row(fixture_tables):
+    import pyarrow as pa
+
+    pages = fixture_tables["pages"]
+    out0 = dedupe_pages(rd.from_arrow(pages.slice(0, 0))).to_pandas()
+    assert len(out0) == 0
+    out1 = dedupe_pages(rd.from_arrow(pages.slice(0, 1))).to_pandas()
+    assert len(out1) == 1
+    assert out1["cluster_id"].iloc[0] == out1["record_id"].iloc[0]
+    assert out1["cluster_score"].iloc[0] == 1.0
