@@ -196,3 +196,31 @@ def parse_profile_fields(text: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array
             v = normalize_street(v)
         out[fname] = pc.if_else(ok, v, pa.scalar(None, pa.string()))
     return out
+
+
+def typo_variants(word: str) -> list[str]:
+    """Candidate misspellings of ``word`` for data-exploration queries —
+    behavior-matching the reference's typo word-list diagnostic
+    (/root/reference/data_load/clean_donors.py:6-27): the word itself,
+    prefix truncations recombined with consonant-skeleton tails, and every
+    adjacent transposition.  Duplicates preserved, order identical."""
+    out = [word]
+    consonants = word
+    for vowel in "aeiou":
+        consonants = consonants.replace(vowel, "")
+    for i in range(1, 8):
+        if i > 3:
+            out.append(word[0:i])
+            out.append(word[0:i] + consonants[-2:] + word[-1])
+        if i > 2:
+            out.append(word[0:i] + consonants[-1])
+            out.append(word[0:i] + consonants[-2:])
+            out.append(word[0] + consonants[0:i])
+            out.append(word[0] + consonants[1:i])
+        out.append(word[0:i] + consonants[-3:-1] + word[-1])
+    for i in range(len(word) - 1):
+        switched = list(word)
+        switched[i] = word[i + 1]
+        switched[i + 1] = word[i]
+        out.append("".join(switched))
+    return out

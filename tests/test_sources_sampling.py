@@ -134,3 +134,16 @@ def test_candidate_pairs_link():
     assert got == [("a0", "b0"), ("a0", "b1")]
     row = out[(out["id_a"] == "a0") & (out["id_b"] == "b0")].iloc[0]
     assert row["name_a"] == "mary smith" and row["name_b"] == "mary jones"
+
+
+def test_typo_variants():
+    from ny_campaign_finance_dedupe_ray.functions.textnorm import typo_variants
+
+    out = typo_variants("street")
+    assert out[0] == "street"
+    # adjacent transpositions present
+    assert "tsreet" in out and "steret" in out
+    # prefix truncations appear for i > 3
+    assert "stre" in out and "stree" in out
+    # deterministic
+    assert out == typo_variants("street")
