@@ -36,6 +36,24 @@ def _q_dedupe_pages(sf_dir: str):
     )
 
 
+def _q_dedupe_profiles(sf_dir: str):
+    """Profile-predicate flagship: seeded synthetic profile pages (the
+    reference's donor shape) through extract -> normalize -> compound
+    predicate + MinHash blocking -> scoring -> clustering.  Deterministic
+    input (synth.generate, seed 42) scaled loosely by the sf documents
+    row count; not SQL-expressible -> rows-only + snapshot hash."""
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray import synth
+    from ny_campaign_finance_dedupe_ray.pipelines.dedupe_pages import dedupe_pages
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    fx = synth.generate(n_entities=max(n_docs // 2, 50), seed=42)
+    return dedupe_pages(rd.from_arrow(fx["pages"]).repartition(8))
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -262,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "session_window": _q_session_window,
         "dedupe_pages": _q_dedupe_pages,
+        "dedupe_profiles": _q_dedupe_profiles,
         "exact_dedup": _q_exact_dedup,
         "minhash_clusters": _q_minhash_clusters,
         "simhash_signatures": _q_simhash,
