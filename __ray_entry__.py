@@ -188,6 +188,27 @@ def _q_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF (coarse-quantizer) approximate top-k — the inverted-file scale
+    path next to the brute-force oracle query.  Deterministic (seeded
+    k-means on a bounded sample) -> snapshot-checked, not SQL-expressible."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.ann import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy())
+    out = ivf_topk(emb, Q, query_ids=qdf["vec_id"].tolist(), k=10,
+                   n_lists=16, n_probe=8)
+    return out[["query_id", "vec_id"]].sort_values(
+        ["query_id", "vec_id"]
+    ).reset_index(drop=True)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -297,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_stats": _q_supplier_region_stats,
         "part_type_revenue": _q_part_type_revenue,
         "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
     }

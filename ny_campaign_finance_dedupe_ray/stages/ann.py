@@ -163,3 +163,95 @@ def lsh_topk(
         for r in top:
             rows.append((query_ids[qi], r.vec_id, r.cosine))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 15,
+            seed: int = 0x1FF) -> np.ndarray:
+    """Deterministic Lloyd k-means on UNIT vectors (spherical): returns
+    (n_lists, dim) unit centroids.  Runs on a driver-side sample only."""
+    rng = np.random.default_rng(seed)
+    sample = _unit(np.asarray(sample, dtype=np.float64))
+    n_lists = min(n_lists, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_lists: int = 32,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+) -> pd.DataFrame:
+    """IVF approximate top-k — the classic inverted-file scale path:
+
+    1. train a spherical k-means coarse quantizer on a driver-side SAMPLE
+       (``ds.limit(train_sample)`` — the only driver materialization, size
+       bounded by the constant, never the corpus);
+    2. broadcast (centroids, unit queries, per-query n_probe nearest lists)
+       once via ``ray.put``;
+    3. each ``map_batches`` task assigns its corpus rows to their nearest
+       list and scores them ONLY against queries probing that list — a
+       1/(n_lists/n_probe) compute fraction vs brute force;
+    4. per-batch local top-k partials merge on the driver heap (same shape
+       as brute_force_topk; the corpus never leaves the cluster).
+
+    At multi-node scale, step 3's batch work can be preceded by a
+    bucket-by-list shuffle so each task holds one list; with the default
+    streaming shape no shuffle is needed at all."""
+    sample_rows = ds.limit(train_sample).select_columns([embedding_column]).to_pandas()
+    sample = np.stack(sample_rows[embedding_column].to_numpy())
+    cent = _kmeans(sample, n_lists)
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    n_probe = min(n_probe, len(cent))
+    q_lists = np.argsort(-(q_unit @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((cent, q_unit, q_lists))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        C, Q, QL = ray.get(ref)
+        V = _unit(_to_matrix(t.column(embedding_column)))
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        v_list = np.argmax(V @ C.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(Q)):
+            mask = np.isin(v_list, QL[qi])
+            if not mask.any():
+                continue
+            sims = V[mask] @ Q[qi]
+            sel_ids = ids[mask]
+            n_take = min(k, len(sims))
+            part = np.argpartition(-sims, n_take - 1)[:n_take]
+            out_q.extend([qi] * len(part))
+            out_id.extend(sel_ids[part].tolist())
+            out_s.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "q_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    if len(partials):
+        for qi, sub in partials.groupby("q_idx"):
+            top = heapq.nsmallest(
+                k, sub.itertuples(index=False),
+                key=lambda r: (-r.cosine, r.vec_id),
+            )
+            for r in top:
+                rows.append((query_ids[qi], r.vec_id, r.cosine))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])

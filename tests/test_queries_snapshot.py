@@ -25,6 +25,7 @@ NO_ORACLE = [
     "quality_score",
     "fingerprints",
     "embedding_neardup",
+    "ann_ivf_topk",
     "media_features",
 ]
 
@@ -39,6 +40,7 @@ EXPECTED = {
     "fingerprints": "398e1bf5972368d931e143fd52250581e3357690e39d09f81c86581165c274ae",
     "embedding_neardup": "946c797c8cc62b9f9977f5f7e71642af9b0ea622682e247e8996db6f3a1d80c4",
     "media_features": "4602b6a36b93060f8aea6138ca266e0bca208121ff8f189ef5320e15d20dcbbb",
+    "ann_ivf_topk": "700cde34cc90b3a56c86eb8671d2bd42639f0fd2c4adb8a537123f047a4ec0b0",
 }
 
 

@@ -188,3 +188,28 @@ def test_sample_frames():
     assert len(out) == 3 * 4
     one = out[out["media_id"] == out["media_id"].iloc[0]]
     assert one["t_ms"].tolist() == [0, 1333, 2666, 4000]
+
+
+def test_ivf_topk_recall():
+    # IVF coarse-quantizer path: bounded recall loss vs brute force on the
+    # same gaussian corpus, exact hit on identical vectors.
+    rng = np.random.default_rng(17)
+    n, dim = 2000, 32
+    emb = rng.standard_normal((n, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+    qids = [0, 500, 1500]
+    Q = emb[qids]
+    exact = ann.brute_force_topk(ds, Q, qids, k=10)
+    approx = ann.ivf_topk(ds, Q, qids, k=10, n_lists=32, n_probe=8)
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+        assert qid in a  # the identical vector always lands in its own list
+    assert np.mean(recalls) >= 0.5, recalls
