@@ -54,6 +54,34 @@ def _q_dedupe_profiles(sf_dir: str):
     return dedupe_pages(rd.from_arrow(fx["pages"]).repartition(8))
 
 
+def _q_canonical_reps(sf_dir: str):
+    """§2.9 canonicalization through the driver contract: the profile
+    flagship's clusters -> one affine-gap-centroid canonical record per
+    cluster (reference canonical.py semantics).  Deterministic seeded
+    input; not SQL-expressible -> rows-only + snapshot hash."""
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray import synth
+    from ny_campaign_finance_dedupe_ray.pipelines.dedupe_pages import (
+        dedupe_pages,
+        pages_to_records,
+    )
+    from ny_campaign_finance_dedupe_ray.stages.canonical import (
+        canonicalize_clusters,
+    )
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    fx = synth.generate(n_entities=max(n_docs // 2, 50), seed=42)
+    pages = rd.from_arrow(fx["pages"]).repartition(8)
+    clusters = dedupe_pages(pages)
+    records = pages_to_records(rd.from_arrow(fx["pages"]).repartition(8))
+    return canonicalize_clusters(
+        clusters, records, fields=("name", "street", "city", "zip")
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -302,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": _q_session_window,
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
+        "canonical_reps": _q_canonical_reps,
         "exact_dedup": _q_exact_dedup,
         "minhash_clusters": _q_minhash_clusters,
         "simhash_signatures": _q_simhash,

@@ -19,6 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 NO_ORACLE = [
     "dedupe_pages",
     "dedupe_profiles",
+    "canonical_reps",
     "minhash_clusters",
     "simhash_signatures",
     "lang_id",
@@ -31,6 +32,7 @@ NO_ORACLE = [
 
 # sha256 of the canonicalized sf0.001 output (see _canonical_hash)
 EXPECTED = {
+    "canonical_reps": "ff157af9fb6017b78ef4ee337a7d15d5e59854536de7e56c8fb8e5697d4d1b7e",
     "dedupe_profiles": "9402983008e2564d9cbe43fb641790db27685baa346d4d02bb2e676b47d72e7f",
     "dedupe_pages": "bbd677bafcbc979661a849b237d4b50ac2e3682d4fa87ba6be77247d3a938d31",
     "minhash_clusters": "6de903d6aec1f5de32edc8f056eeffc84dbc2d35caa19fb064afc3e618a415ea",
