@@ -54,6 +54,54 @@ def _q_dedupe_profiles(sf_dir: str):
     return dedupe_pages(rd.from_arrow(fx["pages"]).repartition(8))
 
 
+def _q_record_link(sf_dir: str):
+    """§2.4/§2.6 RecordLink through the driver contract: the seeded corpus
+    split into side A (each entity's first page) x side B (its perturbed
+    copies), blocked per side, A x B pairs, scored, then greedy one-to-one
+    matching (reference api.py:332-402 + clustering.py:265-277).
+    Deterministic; rows-only + snapshot hash."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray import synth
+    from ny_campaign_finance_dedupe_ray.pipelines.dedupe_pages import pages_to_records
+    from ny_campaign_finance_dedupe_ray.stages.blocking import block_records, default_config
+    from ny_campaign_finance_dedupe_ray.stages.clustering import greedy_matching
+    from ny_campaign_finance_dedupe_ray.stages.pairs import attach_payload, candidate_pairs_link
+    from ny_campaign_finance_dedupe_ray.stages.scoring import score_pairs
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    fx = synth.generate(n_entities=max(n_docs // 2, 50), seed=42)
+    records = pages_to_records(rd.from_arrow(fx["pages"]).repartition(8)).materialize()
+    # side split on the deterministic page index in the url (".../p<i>")
+    import pyarrow.compute as pc
+
+    def side_of(t: pa.Table, want_first: bool) -> pa.Table:
+        is_first = pc.ends_with(t.column("record_id"), pattern="/p0")
+        return t.filter(is_first if want_first else pc.invert(is_first))
+
+    side_a = records.map_batches(lambda t: side_of(t, True), batch_format="pyarrow")
+    side_b = records.map_batches(lambda t: side_of(t, False), batch_format="pyarrow")
+    cfg = dataclasses.replace(default_config(), payload_columns=())
+    slim = candidate_pairs_link(block_records(side_a, cfg), block_records(side_b, cfg))
+    needed = ("name", "street", "city", "zip")
+    pairs = attach_payload(
+        slim.map_batches(
+            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        ),
+        records,
+        columns=needed,
+    )
+    scores = score_pairs(pairs)
+    links = greedy_matching(scores)
+    links["score"] = links["score"].astype("float64").round(6)
+    return links.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_canonical_reps(sf_dir: str):
     """§2.9 canonicalization through the driver contract: the profile
     flagship's clusters -> one affine-gap-centroid canonical record per
@@ -331,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
         "canonical_reps": _q_canonical_reps,
+        "record_link": _q_record_link,
         "exact_dedup": _q_exact_dedup,
         "minhash_clusters": _q_minhash_clusters,
         "simhash_signatures": _q_simhash,
