@@ -603,22 +603,28 @@ def add_singletons(
 def greedy_matching(scores: "ray.data.Dataset") -> pd.DataFrame:
     """One-to-one links: sort by score desc, greedily accept pairs with
     unseen endpoints.  Inherently sequential (clustering.py:265-277) —
-    distributed sort, then a single driver scan over the (small) survivor
-    stream."""
-    df = (
-        scores.sort("score", descending=True)
-        .select_columns(["id_a", "id_b", "score"])
-        .to_pandas()
+    distributed sort, then a single driver scan.  The scan STREAMS sorted
+    batches (iter_batches) so the driver holds only the seen-endpoint sets
+    and the accepted links, never the full edge list."""
+    sorted_scores = scores.select_columns(["id_a", "id_b", "score"]).sort(
+        "score", descending=True
     )
     seen_a: set = set()
     seen_b: set = set()
-    keep = []
-    for row in df.itertuples(index=False):
-        if row.id_a not in seen_a and row.id_b not in seen_b:
-            seen_a.add(row.id_a)
-            seen_b.add(row.id_b)
-            keep.append(row)
-    return pd.DataFrame(keep, columns=["id_a", "id_b", "score"])
+    keep_a: list = []
+    keep_b: list = []
+    keep_s: list = []
+    for batch in sorted_scores.iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        for row in batch.itertuples(index=False):
+            if row.id_a not in seen_a and row.id_b not in seen_b:
+                seen_a.add(row.id_a)
+                seen_b.add(row.id_b)
+                keep_a.append(row.id_a)
+                keep_b.append(row.id_b)
+                keep_s.append(row.score)
+    return pd.DataFrame({"id_a": keep_a, "id_b": keep_b, "score": keep_s})
 
 
 def gazette_matching(
