@@ -58,3 +58,67 @@ def carry_forward(
         )
 
     return new_records.map_batches(attach, batch_format="pyarrow")
+
+
+def carry_forward_large(
+    new_records: "ray.data.Dataset",
+    previous: "ray.data.Dataset",
+    key_fields: tuple[str, ...],
+    carry_column: str,
+    out_column: str | None = None,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """The both-large carry-forward: at full scale a previous run's entity
+    map is corpus-sized, so the (identity_key -> value) side joins by
+    bucketed groupby co-location (stages/joins.bucketed_join) instead of a
+    driver collect + broadcast.  Duplicate previous keys resolve to the MIN
+    carried value (deterministic under any partitioning — the broadcast
+    variant's first-seen rule depends on row order)."""
+    import pandas as pd
+
+    from ..functions.hashing import hash64_str
+    from .joins import bucketed_join
+
+    out_column = out_column or carry_column
+
+    def kv(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = identity_key(t, key_fields)
+        h = hash64_str(key)
+        return pa.table(
+            {
+                "_ckey": key,
+                "_cval": t.column(carry_column),
+                "_bucket": pa.array((h % np.uint64(n_buckets)).astype("int64")),
+            }
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("_ckey", as_index=False)["_cval"].min()
+        )
+
+    prev_kv = (
+        previous.map_batches(kv, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_ckey", identity_key(t, key_fields))
+
+    joined = bucketed_join(
+        new_records.map_batches(add_key, batch_format="pyarrow"),
+        prev_kv,
+        on="_ckey",
+        how="left",
+        n_buckets=n_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_ckey"])
+        names = ["%s" % (out_column if c == "_cval" else c) for c in t.column_names]
+        return t.rename_columns(names)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

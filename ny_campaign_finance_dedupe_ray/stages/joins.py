@@ -37,10 +37,20 @@ def bucketed_join(
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
 
+    def _pa_type(t) -> pa.DataType:
+        # pandas-block datasets report numpy dtypes / python classes in
+        # schema().types; normalize to Arrow (object/str columns -> string)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()
+
     l_schema = left.schema()
     r_schema = right.schema()
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
     l_cols = [c for c in l_schema.names if c != on]
     r_cols = [c for c in r_schema.names if c != on]
     overlap = set(l_cols) & set(r_cols)

@@ -178,3 +178,40 @@ def test_haversine_km_scale():
     d = C.haversine_sqrt((42.0, -73.0), (43.0, -73.0))
     assert 10.0 < d < 11.0
     assert abs(d - math.sqrt(111.19)) < 0.1
+
+
+def test_carry_forward_large_matches_broadcast():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.carryforward import (
+        carry_forward, carry_forward_large,
+    )
+
+    prev = rd.from_arrow(pa.table({
+        "name": pa.array(["mary smith", "bob jones", "mary smith"], pa.string()),
+        "street": pa.array(["1 main st", "9 oak ave", "1 main st"], pa.string()),
+        "cluster_id": pa.array(["c2", "c9", "c1"], pa.string()),
+    })).repartition(2)
+    new = rd.from_arrow(pa.table({
+        "record_id": pa.array(["r1", "r2", "r3"], pa.string()),
+        "name": pa.array(["mary smith", "carol white", "bob jones"], pa.string()),
+        "street": pa.array(["1 main st", "5 elm rd", "9 oak ave"], pa.string()),
+    })).repartition(2)
+
+    out = (
+        carry_forward_large(new, prev, ("name", "street"), "cluster_id",
+                            out_column="prev_cluster")
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    # duplicate previous key resolves to the MIN value (c1 < c2)
+    assert out["prev_cluster"].tolist() == ["c1", None, "c9"]
+    assert list(out.columns) == ["record_id", "name", "street", "prev_cluster"]
+
+    # broadcast variant agrees on unique keys
+    b = (
+        carry_forward(new, prev, ("name", "street"), "cluster_id",
+                      out_column="prev_cluster")
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    assert b.loc[1, "prev_cluster"] is None and b.loc[2, "prev_cluster"] == "c9"
