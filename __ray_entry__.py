@@ -359,6 +359,17 @@ def _q_tumbling_window(sf_dir: str):
     return tumbling_window(events, window_seconds=3600)
 
 
+def _q_hopping_window(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.windows import hopping_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return hopping_window(events, window_seconds=3600, slide_seconds=1800)
+
+
 def _q_session_window(sf_dir: str):
     import ray.data as rd
 
@@ -375,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_uuid": _q_orders_uuid,
         "priority_codes": _q_priority_codes,
         "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
         "session_window": _q_session_window,
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
@@ -426,6 +438,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY user_id, window_id"
+        ),
+        "hopping_window": (
+            "WITH d AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, "
+            "value FROM events) "
+            "SELECT user_id, wid AS window_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value "
+            "FROM d, LATERAL (SELECT unnest(generate_series("
+            "CAST(floor((e - 3600) / 1800) + 1 AS BIGINT), "
+            "CAST(floor(e / 1800) AS BIGINT))) AS wid) t "
+            "GROUP BY user_id, wid"
         ),
         "session_window": (
             "WITH d AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, "

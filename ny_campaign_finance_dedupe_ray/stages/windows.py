@@ -148,3 +148,65 @@ def session_window(
         .groupby("bucket")
         .map_groups(sessionize_bucket, batch_format="pandas")
     )
+
+
+def hopping_window(
+    events: "ray.data.Dataset",
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    window_seconds: int = 3600,
+    slide_seconds: int = 1800,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Overlapping (hopping) windows: window w covers
+    [w*slide, w*slide + size).  Each event lands in ceil(size/slide)
+    windows; the flat-map emits its per-(key, window) partials with one
+    vectorized repeat — no per-event or per-key Python dispatch — then the
+    same bucketed merge as tumbling_window."""
+    if slide_seconds <= 0 or window_seconds < slide_seconds:
+        raise ValueError("need 0 < slide_seconds <= window_seconds")
+
+    from ..functions.hashing import _ranges
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_column).cast(pa.timestamp("us")).cast(pa.int64())
+        epoch = ts.to_numpy(zero_copy_only=False) // 1_000_000
+        wmax = epoch // slide_seconds
+        wmin = (epoch - window_seconds) // slide_seconds + 1
+        counts = wmax - wmin + 1
+        rows = np.repeat(np.arange(len(epoch), dtype=np.int64), counts)
+        wids = np.repeat(wmin, counts) + _ranges(counts)
+        df = pd.DataFrame(
+            {
+                key_column: t.column(key_column).to_pandas().to_numpy()[rows],
+                "window_id": wids.astype("int64"),
+                "value": t.column(value_column).to_pandas().to_numpy()[rows],
+            }
+        )
+        agg = (
+            df.groupby([key_column, "window_id"], sort=False)["value"]
+            .agg(n_events="size", sum_value="sum")
+            .reset_index()
+        )
+        return _key_bucket(
+            pa.Table.from_pandas(agg, preserve_index=False),
+            key_column,
+            n_buckets,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby([key_column, "window_id"], sort=False)
+            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

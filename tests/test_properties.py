@@ -225,3 +225,22 @@ def test_windows_match_naive_oracle(rows):
     )
     for c in ("n_events", "start_epoch", "end_epoch"):
         assert got_s[c].tolist() == exp_s[c].tolist(), c
+
+    from ny_campaign_finance_dedupe_ray.stages.windows import hopping_window
+
+    got_h = (
+        hopping_window(ds, window_seconds=600, slide_seconds=300)
+        .to_pandas().sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    )
+    hop_rows = []
+    for uid, e, v in zip(df["user_id"], df["epoch"], df["value"]):
+        for w in range((e - 600) // 300 + 1, e // 300 + 1):
+            hop_rows.append((uid, w, v))
+    exp_h = (
+        pd.DataFrame(hop_rows, columns=["user_id", "window_id", "value"])
+        .groupby(["user_id", "window_id"], as_index=False)
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    )
+    assert got_h["n_events"].tolist() == exp_h["n_events"].tolist()
+    assert np.allclose(got_h["sum_value"], exp_h["sum_value"].round(6), atol=1e-6)
