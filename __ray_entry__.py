@@ -370,6 +370,65 @@ def _q_hopping_window(sf_dir: str):
     return hopping_window(events, window_seconds=3600, slide_seconds=1800)
 
 
+def _q_events_prev_value(sf_dir: str):
+    """As-of join through the driver contract: each event picks the latest
+    strictly-earlier event's value for the same user (right side deduped to
+    MAX value per (user, ts) so ties are deterministic)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.functions.hashing import hash64_str
+    from ny_campaign_finance_dedupe_ray.stages.joins import asof_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def to_right(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = t.column("user_id").cast(pa.string())
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        h = hash64_str(key)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "prev_value": t.column("value"),
+                "bucket": pa.array((h % np.uint64(64)).astype("int64")),
+            }
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "ts"], as_index=False)["prev_value"].max()
+
+    right = (
+        events.map_batches(to_right, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+    joined = asof_join(events, right, on_key="user_id", on_ts="ts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        e = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "e_epoch": pc.divide(e, 1_000_000),
+                "value": pc.round(t.column("value"), 6),
+                "prev_value": pc.round(
+                    t.column("prev_value").cast(pa.float64()), 6
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_session_window(sf_dir: str):
     import ray.data as rd
 
@@ -388,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
         "session_window": _q_session_window,
+        "events_prev_value": _q_events_prev_value,
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
         "canonical_reps": _q_canonical_reps,
@@ -463,6 +523,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(e) AS BIGINT) AS start_epoch, "
             "CAST(MAX(e) AS BIGINT) AS end_epoch "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "events_prev_value": (
+            "WITH r AS (SELECT user_id, ts, MAX(value) AS v FROM events "
+            "GROUP BY user_id, ts) "
+            "SELECT e.user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS e_epoch, "
+            "ROUND(e.value, 6) AS value, ROUND(q.v, 6) AS prev_value "
+            "FROM events e ASOF LEFT JOIN r q "
+            "ON e.user_id = q.user_id AND q.ts < e.ts"
         ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS canonical_id, "

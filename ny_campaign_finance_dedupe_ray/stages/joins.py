@@ -97,3 +97,92 @@ def bucketed_join(
     return (
         unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")
     )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on_key: str,
+    on_ts: str,
+    n_buckets: int = 64,
+    allow_exact_matches: bool = False,
+) -> "ray.data.Dataset":
+    """As-of join: each left row picks the right row with the greatest
+    ``on_ts`` strictly below (or equal, with ``allow_exact_matches``) its
+    own, per ``on_key`` — the operator Ray Data lacks natively, expressed
+    as key-hash co-location + one vectorized ``pd.merge_asof`` per bucket.
+    Partitioning assumption: all rows of a key land in one bucket (hash
+    co-location), so per-bucket backward search is globally correct.
+    Unmatched left rows keep nulls (left-join semantics)."""
+    l_schema, r_schema = left.schema(), right.schema()
+
+    def _pa_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()
+
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    shared = (on_key, on_ts)
+    l_cols = [c for c in l_schema.names if c not in shared]
+    r_cols = [c for c in r_schema.names if c not in shared]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+
+    def tag(side: str, other_cols: list[str], other_types: dict):
+        def _t(t: pa.Table) -> pa.Table:
+            cols = {
+                on_key: t.column(on_key),
+                on_ts: t.column(on_ts),
+                "_side": pa.array([side] * t.num_rows),
+            }
+            for c in t.column_names:
+                if c not in shared:
+                    cols[c] = t.column(c)
+            for c in other_cols:
+                cols[c] = pa.nulls(t.num_rows, type=other_types[c])
+            key = t.column(on_key)
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            h = hash64_str(key.cast(pa.string()))
+            cols["_bucket"] = pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+            return pa.table(cols)
+
+        return _t
+
+    ordered = [on_key, on_ts, "_side", *l_cols, *r_cols, "_bucket"]
+
+    def reorder(t: pa.Table) -> pa.Table:
+        return t.select(ordered)
+
+    unioned = (
+        left.map_batches(tag("l", r_cols, r_types), batch_format="pyarrow")
+        .map_batches(reorder, batch_format="pyarrow")
+        .union(
+            right.map_batches(tag("r", l_cols, l_types), batch_format="pyarrow")
+            .map_batches(reorder, batch_format="pyarrow")
+        )
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["_side"] == "l"][[on_key, on_ts, *l_cols]].sort_values(
+            on_ts, kind="mergesort"
+        )
+        rt = g[g["_side"] == "r"][[on_key, on_ts, *r_cols]].sort_values(
+            on_ts, kind="mergesort"
+        )
+        out = pd.merge_asof(
+            lt,
+            rt,
+            on=on_ts,
+            by=on_key,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+        )
+        return out[[on_key, on_ts, *l_cols, *r_cols]]
+
+    return unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")

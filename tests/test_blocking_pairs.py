@@ -139,3 +139,40 @@ def test_bucketed_join():
 
     with pytest.raises(ValueError):
         bucketed_join(left, left, on="k")  # column collision
+
+
+def test_asof_join():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.joins import asof_join
+
+    import numpy as np
+
+    ts = pa.timestamp("us")
+    def t(s): return np.datetime64(s, "s").astype("datetime64[us]")
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", "b"], pa.string()),
+        "ts": pa.array([t(10), t(20), t(30), t(10)], ts),
+        "lv": pa.array([1, 2, 3, 4], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "ts": pa.array([t(5), t(20), t(40)], ts),
+        "rv": pa.array([100.0, 200.0, 300.0], pa.float64()),
+    })).repartition(2)
+
+    out = (
+        asof_join(left, right, on_key="k", on_ts="ts")
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    # strict backward: ts=20 sees the ts=5 row, not the equal-ts one
+    assert out["rv"].tolist()[:3] == [100.0, 100.0, 200.0]
+    assert pd.isna(out["rv"].iloc[3])  # b has no earlier right row
+
+    out2 = (
+        asof_join(left, right, on_key="k", on_ts="ts", allow_exact_matches=True)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert out2["rv"].tolist()[:3] == [100.0, 200.0, 200.0]
