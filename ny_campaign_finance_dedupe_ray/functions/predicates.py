@@ -287,6 +287,78 @@ def _vec_whole_field(col):
     return col
 
 
+def _flatten_rows(col_list) -> tuple:
+    """ListArray -> (parent row indices, flat values) as numpy/pa."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col_list, pa.ChunkedArray):
+        col_list = col_list.combine_chunks()
+    offsets = col_list.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    rows = np.repeat(np.arange(len(col_list), dtype=np.int64), lens)
+    return rows, col_list.values
+
+
+def _dedup_per_row(rows, vals) -> tuple:
+    """Per-row distinct (row, value) pairs via one lexsort (vals: numpy
+    object array of strings)."""
+    import numpy as np
+
+    if len(rows) == 0:
+        return rows, vals
+    order = np.lexsort((vals, rows))
+    sr, sv = rows[order], vals[order]
+    uniq = np.empty(len(sr), dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (sr[1:] != sr[:-1]) | (sv[1:] != sv[:-1])
+    return sr[uniq], sv[uniq]
+
+
+def _vec_token_field(col):
+    """set(_WORDS(field)) — split on the \\w' complement, drop empties,
+    per-row distinct."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(col, pattern=r"[^\p{L}\p{N}_']+")
+    rows, flat = _flatten_rows(toks)
+    vals = flat.to_numpy(zero_copy_only=False)
+    keep = np.array([bool(v) for v in vals], dtype=bool)
+    return _dedup_per_row(rows[keep], vals[keep])
+
+
+def _vec_common_integer(col):
+    """{str(int(x)) for x in \\d+ findall} — split on non-digits, strip
+    leading zeros ('000' -> '0'), per-row distinct.  Bails to the scalar
+    path on any non-ascii batch: str(int(x)) transliterates unicode digits
+    to ascii, which ltrim cannot reproduce."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    non_ascii = pc.any(
+        pc.match_substring_regex(col, pattern=r"[^\x00-\x7F]")
+    ).as_py()
+    if non_ascii:
+        return None
+    toks = pc.split_pattern_regex(col, pattern=r"\P{Nd}+")
+    rows, flat = _flatten_rows(toks)
+    trimmed = pc.utf8_ltrim(flat, characters="0")
+    vals = trimmed.to_numpy(zero_copy_only=False)
+    raw = flat.to_numpy(zero_copy_only=False)
+    keep = np.array([bool(r) for r in raw], dtype=bool)
+    # all-zero tokens trim to '' -> canonical '0'
+    vals = np.where([v == "" for v in vals], "0", vals)
+    return _dedup_per_row(rows[keep], np.asarray(vals, dtype=object)[keep])
+
+
+# set-valued predicates: name -> kernel(col) -> (row_indices, key_values)
+VECTOR_MULTI_KERNELS: dict = {
+    "token_field": _vec_token_field,
+    "common_integer": _vec_common_integer,
+}
+
+
 # RE2 \p{L}\p{N}_ tracks Python's unicode \w for normalized profile text
 VECTOR_KERNELS: dict = {
     "whole_field": _vec_whole_field,
@@ -347,6 +419,33 @@ class FieldPredicate:
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         return pc.if_else(no_key, pa.scalar(None, pa.string()), keys)
+
+    def vector_multi_keys(self, batch):
+        """Batch-vectorized SET-valued keys: (row_indices, key_values) with
+        per-row duplicates removed, or None when no kernel applies (callers
+        fall back to the per-row path).  Raw-falsy rows emit nothing."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        kern = VECTOR_MULTI_KERNELS.get(self.func.__name__)
+        if kern is None or self.field not in batch.column_names:
+            return None
+        col = batch.column(self.field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.string())
+        no_key = pc.or_kleene(
+            pc.is_null(col), pc.equal(col, "")
+        ).to_numpy(zero_copy_only=False)
+        no_key = np.nan_to_num(no_key.astype(np.float64)).astype(bool)
+        s = _vec_preprocess(col.fill_null("")) if self.preprocess else col.fill_null("")
+        out = kern(s)
+        if out is None:
+            return None
+        rows, vals = out
+        keep = ~no_key[rows]
+        return rows[keep], vals[keep]
 
 
 class StringPredicate(FieldPredicate):

@@ -97,18 +97,33 @@ def _block_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     slow_preds: list[tuple[int, object]] = []
     for pi, pred in enumerate(cfg.predicates):
         vk = pred.vector_keys(batch) if hasattr(pred, "vector_keys") else None
-        if vk is None:
-            slow_preds.append((pi, pred))
-            continue
-        valid = pc.is_valid(vk).to_numpy(zero_copy_only=False)
-        rows = np.flatnonzero(valid)
-        if len(rows):
-            idx_parts.append(rows)
-            key_parts.append(
-                pc.binary_join_element_wise(
-                    vk.drop_null(), pa.scalar(str(pi)), ":"
+        if vk is not None:
+            valid = pc.is_valid(vk).to_numpy(zero_copy_only=False)
+            rows = np.flatnonzero(valid)
+            if len(rows):
+                idx_parts.append(rows)
+                key_parts.append(
+                    pc.binary_join_element_wise(
+                        vk.drop_null(), pa.scalar(str(pi)), ":"
+                    )
                 )
-            )
+            continue
+        mk = (
+            pred.vector_multi_keys(batch)
+            if hasattr(pred, "vector_multi_keys")
+            else None
+        )
+        if mk is not None:
+            rows, vals = mk
+            if len(rows):
+                idx_parts.append(rows)
+                key_parts.append(
+                    pc.binary_join_element_wise(
+                        pa.array(vals, pa.string()), pa.scalar(str(pi)), ":"
+                    )
+                )
+            continue
+        slow_preds.append((pi, pred))
 
     if slow_preds:
         fields_needed = sorted(

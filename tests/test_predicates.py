@@ -151,3 +151,35 @@ def test_vector_keys_parity():
 
     # a predicate without a kernel falls back (returns None)
     assert P.StringPredicate(P.token_field, "f").vector_keys(batch) is None
+
+
+def test_vector_multi_keys_parity():
+    # set-valued kernels (token_field, common_integer) must match the
+    # scalar path as per-row SETS.
+    import pyarrow as pa
+
+    from ny_campaign_finance_dedupe_ray.functions import predicates as P
+
+    values = [
+        "mary smith smith", "12 main st apt 007", "", None, "!!!",
+        "a b a c", "0 00 000 7", "x123y45 123",
+    ]
+    batch = pa.table({"f": pa.array(values, pa.string())})
+    for pred in (
+        P.StringPredicate(P.token_field, "f"),
+        P.StringPredicate(P.common_integer, "f"),
+        P.FieldPredicate(P.common_integer, "f"),
+    ):
+        mk = pred.vector_multi_keys(batch)
+        assert mk is not None, pred.name
+        rows, vals = mk
+        got: dict[int, set] = {}
+        for r, v in zip(rows, vals):
+            got.setdefault(int(r), set()).add(v)
+        for i, v in enumerate(values):
+            exp = set(pred({"f": v}))
+            assert got.get(i, set()) == exp, (pred.name, v, got.get(i), exp)
+
+    # unicode digits force the scalar fallback for common_integer
+    ub = pa.table({"f": pa.array(["٠٧ and 3"], pa.string())})
+    assert P.StringPredicate(P.common_integer, "f").vector_multi_keys(ub) is None
