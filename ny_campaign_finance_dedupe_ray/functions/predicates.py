@@ -352,10 +352,38 @@ def _vec_common_integer(col):
     return _dedup_per_row(rows[keep], np.asarray(vals, dtype=object)[keep])
 
 
+def _vec_token_ngrams(n: int):
+    """_ngrams_tokens(field.split(), n): split on str.split() whitespace,
+    drop empties, join n adjacent tokens with ' ', per-row distinct."""
+
+    def kern(col):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(col, pattern=_WS_CLASS)
+        rows, flat = _flatten_rows(toks)
+        vals = flat.to_numpy(zero_copy_only=False)
+        keep = np.array([bool(v) for v in vals], dtype=bool)
+        rows, vals = rows[keep], np.asarray(vals, dtype=object)[keep]
+        if len(rows) < n:
+            return rows[:0], vals[:0]
+        # adjacent n-token windows entirely within one row
+        ok = rows[: len(rows) - n + 1] == rows[n - 1:]
+        grams = vals[: len(vals) - n + 1].copy()
+        for j in range(1, n):
+            grams = grams + " "
+            grams = grams + vals[j: len(vals) - n + 1 + j]
+        return _dedup_per_row(rows[: len(rows) - n + 1][ok], grams[ok])
+
+    return kern
+
+
 # set-valued predicates: name -> kernel(col) -> (row_indices, key_values)
 VECTOR_MULTI_KERNELS: dict = {
     "token_field": _vec_token_field,
     "common_integer": _vec_common_integer,
+    "common_two_tokens": _vec_token_ngrams(2),
+    "common_three_tokens": _vec_token_ngrams(3),
 }
 
 

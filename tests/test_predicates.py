@@ -183,3 +183,23 @@ def test_vector_multi_keys_parity():
     # unicode digits force the scalar fallback for common_integer
     ub = pa.table({"f": pa.array(["٠٧ and 3"], pa.string())})
     assert P.StringPredicate(P.common_integer, "f").vector_multi_keys(ub) is None
+
+
+def test_vector_token_ngrams_parity():
+    import pyarrow as pa
+
+    from ny_campaign_finance_dedupe_ray.functions import predicates as P
+
+    values = ["mary smith jones lee", "a b", "one", "", None, "  x  y  z  "]
+    batch = pa.table({"f": pa.array(values, pa.string())})
+    for pred in (
+        P.StringPredicate(P.common_two_tokens, "f"),
+        P.FieldPredicate(P.common_two_tokens, "f"),
+        P.StringPredicate(P.common_three_tokens, "f"),
+    ):
+        rows, kv = pred.vector_multi_keys(batch)
+        got: dict[int, set] = {}
+        for r, v in zip(rows, kv):
+            got.setdefault(int(r), set()).add(v)
+        for i, v in enumerate(values):
+            assert got.get(i, set()) == set(pred({"f": v})), (pred.name, v)
