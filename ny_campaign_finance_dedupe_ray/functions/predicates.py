@@ -483,6 +483,35 @@ class StringPredicate(FieldPredicate):
     preprocess = True
 
 
+class ExistsPredicate(FieldPredicate):
+    """Presence predicate: '1'/'0' — emitted even for missing/falsy values
+    (reference predicates.py:94-118 has NO falsy guard, unlike
+    SimplePredicate; a generic FieldPredicate(exists, f) would wrongly
+    emit nothing for null fields)."""
+
+    def __init__(self, field: str, name: str | None = None):
+        super().__init__(exists, field, name or f"(Exists, {field})")
+
+    def keys(self, value) -> Iterable[str]:
+        return exists(value)
+
+    def vector_keys(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self.field not in batch.column_names:
+            return None
+        col = batch.column(self.field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            # numeric truthiness (0 -> '0') diverges from string casts
+            return None
+        truthy = pc.and_kleene(pc.is_valid(col), pc.not_equal(col, ""))
+        truthy = pc.fill_null(truthy, False)
+        return pc.if_else(truthy, pa.scalar("1"), pa.scalar("0"))
+
+
 class CompoundPredicate:
     """Tuple of predicates; emits the cartesian product of member keys joined
     with ':' and member ':' escaped as '\\:' (predicates.py:325-342)."""

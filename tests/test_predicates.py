@@ -203,3 +203,21 @@ def test_vector_token_ngrams_parity():
             got.setdefault(int(r), set()).add(v)
         for i, v in enumerate(values):
             assert got.get(i, set()) == set(pred({"f": v})), (pred.name, v)
+
+
+def test_exists_predicate_emits_for_missing():
+    # reference ExistsPredicate has no falsy guard: missing -> '0'
+    import pyarrow as pa
+
+    from ny_campaign_finance_dedupe_ray.functions import predicates as P
+
+    p = P.ExistsPredicate("f")
+    assert list(p({"f": "x"})) == ["1"]
+    assert list(p({"f": ""})) == ["0"]
+    assert list(p({"f": None})) == ["0"]
+    batch = pa.table({"f": pa.array(["x", "", None], pa.string())})
+    assert p.vector_keys(batch).to_pylist() == ["1", "0", "0"]
+    # numeric columns fall back (string-cast truthiness would diverge)
+    nb = pa.table({"f": pa.array([0, 1], pa.int64())})
+    assert p.vector_keys(nb) is None
+    assert list(p({"f": 0})) == ["0"] and list(p({"f": 1})) == ["1"]
