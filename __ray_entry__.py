@@ -329,8 +329,8 @@ def _q_media_features(sf_dir: str):
 
         return f
 
-    imgs = decode_images(media.filter(lambda r: r["kind"] == "image"))
-    auds = decode_audio(media.filter(lambda r: r["kind"] == "audio"))
+    imgs = decode_images(media.filter(expr="kind == 'image'"))
+    auds = decode_audio(media.filter(expr="kind == 'audio'"))
     return imgs.map_batches(summarize("image"), batch_format="pyarrow").union(
         auds.map_batches(summarize("audio"), batch_format="pyarrow")
     )

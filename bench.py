@@ -289,9 +289,9 @@ def scaling() -> None:
             text=True,
         )
         results = {}
-        # first lo run warms the page cache (untimed); then best-of-2 per
-        # level — single runs show +-10% machine noise on this host
-        for n in (lo, lo, hi, lo, hi):
+        # first lo run warms the page cache (untimed, NOT recorded — both
+        # levels are best-of-2); single runs show +-10% machine noise here
+        for i, n in enumerate((lo, lo, hi, lo, hi)):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-score",
@@ -301,6 +301,8 @@ def scaling() -> None:
                 text=True,
                 check=True,
             ).stdout
+            if i == 0:
+                continue
             r = json.loads(out.strip().splitlines()[-1])
             if n not in results or r["value"] > results[n]["value"]:
                 results[n] = r

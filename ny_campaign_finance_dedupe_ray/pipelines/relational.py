@@ -304,22 +304,29 @@ def supplier_region_stats(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
     ).to_pandas()
     rname = dict(zip(region["r_regionkey"], region["r_name"]))
-    n2r = {
-        int(nk): rname[int(rk)]
-        for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
-    }
-    map_ref = ray.put(n2r)
+    # broadcast the nationkey->region_name lookup as two aligned arrays so
+    # the per-batch lookup is a vectorized index_in + take (the map_codes
+    # idiom), not a per-row dict.get loop
+    nation_keys = pa.array(nation["n_nationkey"].astype("int64"))
+    region_names = pa.array(
+        [rname[int(rk)] for rk in nation["n_regionkey"]], pa.string()
+    )
+    map_ref = ray.put((nation_keys, region_names))
 
     suppliers = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        keys = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        keys_arr, names_arr = ray.get(map_ref)
+        idx = pc.index_in(
+            t.column("s_nationkey").cast(pa.int64()), value_set=keys_arr
+        )
         df = pd.DataFrame(
             {
-                "r_name": [m.get(int(kk)) for kk in keys],
+                "r_name": pc.take(names_arr, idx).to_pandas(),
                 "bal": t.column("s_acctbal").to_numpy(zero_copy_only=False),
             }
         )

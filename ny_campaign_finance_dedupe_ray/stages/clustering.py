@@ -338,7 +338,11 @@ def connected_components_distributed(
                 "node": t.column("node"),
                 "id_a": pa.array([None] * t.num_rows, pa.string()),
                 "id_b": pa.array([None] * t.num_rows, pa.string()),
-                "score": pa.array([None] * t.num_rows, pa.float32()),
+                # float64 through the union: the driver path keeps the input
+                # dtype, so a float32 cast here could flip the refilter's
+                # min_score/searchsorted threshold for scores within float32
+                # epsilon of a cutoff and diverge between CC modes
+                "score": pa.array([None] * t.num_rows, pa.float64()),
                 "label": t.column("label"),
             }
         ),
@@ -350,7 +354,7 @@ def connected_components_distributed(
                 "node": t.column("id_a").cast(pa.string()),
                 "id_a": t.column("id_a").cast(pa.string()),
                 "id_b": t.column("id_b").cast(pa.string()),
-                "score": t.column("score").cast(pa.float32()),
+                "score": t.column("score").cast(pa.float64()),
                 "label": pa.array([None] * t.num_rows, pa.string()),
             }
         ),

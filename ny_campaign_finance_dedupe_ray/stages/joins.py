@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash64_str
@@ -33,9 +34,16 @@ def bucketed_join(
     n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Join two Datasets on column ``on`` (same name both sides; other
-    column names must not collide).  how: 'inner' or 'left'."""
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    column names must not collide).  how: 'inner', 'left', 'right' or
+    'outer'.
+
+    NULL keys follow SQL equi-join semantics: they never match anything.
+    Null-key rows are dropped for sides an inner join would drop, and kept
+    as unmatched rows on the preserved side(s) of left/right/outer joins.
+    Column dtypes are preserved end-to-end (a final cast undoes pandas'
+    NaN-driven int->float widening on null-filled columns)."""
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError("how must be 'inner', 'left', 'right' or 'outer'")
 
     def _pa_type(t) -> pa.DataType:
         # pandas-block datasets report numpy dtypes / python classes in
@@ -57,8 +65,12 @@ def bucketed_join(
     if overlap:
         raise ValueError(f"column collision: {sorted(overlap)}")
 
-    def tag(side: str, other_cols: list[str], other_types: dict):
+    def tag(side: str, other_cols: list[str], other_types: dict,
+            keep_nulls: bool):
         def _t(t: pa.Table) -> pa.Table:
+            if not keep_nulls:
+                # SQL: null keys never match — drop early, before the shuffle
+                t = t.filter(pc.is_valid(t.column(on)))
             cols = {on: t.column(on), "_side": pa.array([side] * t.num_rows)}
             for c in t.column_names:
                 if c != on:
@@ -68,7 +80,7 @@ def bucketed_join(
             key = t.column(on)
             if isinstance(key, pa.ChunkedArray):
                 key = key.combine_chunks()
-            h = hash64_str(key.cast(pa.string()))
+            h = hash64_str(key.cast(pa.string()).fill_null(""))
             cols["_bucket"] = pa.array((h % np.uint64(n_buckets)).astype(np.int64))
             return pa.table(cols)
 
@@ -80,22 +92,56 @@ def bucketed_join(
     def reorder(t: pa.Table) -> pa.Table:
         return t.select(ordered)
 
+    keep_l_nulls = how in ("left", "outer")
+    keep_r_nulls = how in ("right", "outer")
     unioned = (
-        left.map_batches(tag("l", r_cols, r_types), batch_format="pyarrow")
+        left.map_batches(
+            tag("l", r_cols, r_types, keep_l_nulls), batch_format="pyarrow"
+        )
         .map_batches(reorder, batch_format="pyarrow")
         .union(
-            right.map_batches(tag("r", l_cols, l_types), batch_format="pyarrow")
-            .map_batches(reorder, batch_format="pyarrow")
+            right.map_batches(
+                tag("r", l_cols, l_types, keep_r_nulls), batch_format="pyarrow"
+            ).map_batches(reorder, batch_format="pyarrow")
         )
     )
+
+    out_cols = [on, *l_cols, *r_cols]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lt = g[g["_side"] == "l"][[on, *l_cols]]
         rt = g[g["_side"] == "r"][[on, *r_cols]]
-        return lt.merge(rt, on=on, how=how)
+        # null keys must not match each other (pandas merge matches NaN to
+        # NaN): split them out, merge the clean parts, append unmatched
+        l_null = lt[lt[on].isna()]
+        r_null = rt[rt[on].isna()]
+        parts = [lt[lt[on].notna()].merge(rt[rt[on].notna()], on=on, how=how)]
+        if keep_l_nulls and len(l_null):
+            parts.append(l_null.reindex(columns=out_cols))
+        if keep_r_nulls and len(r_null):
+            parts.append(r_null.reindex(columns=out_cols))
+        return pd.concat(parts, ignore_index=True)[out_cols]
+
+    out_types = {on: l_types[on]}
+    out_types.update({c: l_types[c] for c in l_cols})
+    out_types.update({c: r_types[c] for c in r_cols})
+
+    def cast_back(t: pa.Table) -> pa.Table:
+        # pandas widens null-filled int columns to float; non-null values
+        # stay exactly integral, so the cast back to the source Arrow type
+        # is lossless
+        cols = {}
+        for c in out_cols:
+            col = t.column(c)
+            if col.type != out_types[c]:
+                col = col.cast(out_types[c])
+            cols[c] = col
+        return pa.table(cols)
 
     return (
-        unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")
+        unioned.groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .map_batches(cast_back, batch_format="pyarrow")
     )
 
 
@@ -168,11 +214,20 @@ def asof_join(
         )
     )
 
+    out_cols = [on_key, on_ts, *l_cols, *r_cols]
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g[g["_side"] == "l"][[on_key, on_ts, *l_cols]].sort_values(
+        lt = g[g["_side"] == "l"][[on_key, on_ts, *l_cols]]
+        rt = g[g["_side"] == "r"][[on_key, on_ts, *r_cols]]
+        # SQL semantics for nulls: a null key or timestamp never matches.
+        # Right-side rows with nulls can never be picked; left-side rows
+        # with nulls stay (left-join) but unmatched — and merge_asof rejects
+        # nulls in its keys, so both are split out rather than merged.
+        l_null = lt[lt[on_key].isna() | lt[on_ts].isna()]
+        lt = lt[lt[on_key].notna() & lt[on_ts].notna()].sort_values(
             on_ts, kind="mergesort"
         )
-        rt = g[g["_side"] == "r"][[on_key, on_ts, *r_cols]].sort_values(
+        rt = rt[rt[on_key].notna() & rt[on_ts].notna()].sort_values(
             on_ts, kind="mergesort"
         )
         out = pd.merge_asof(
@@ -183,6 +238,11 @@ def asof_join(
             direction="backward",
             allow_exact_matches=allow_exact_matches,
         )
-        return out[[on_key, on_ts, *l_cols, *r_cols]]
+        if len(l_null):
+            out = pd.concat(
+                [out[out_cols], l_null.reindex(columns=out_cols)],
+                ignore_index=True,
+            )
+        return out[out_cols]
 
     return unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")

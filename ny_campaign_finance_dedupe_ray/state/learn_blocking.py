@@ -184,7 +184,14 @@ def learn_blocking_rules(
     frozen = {i: frozenset(c) for i, c in cover.items() if c}
     bb = BranchBoundCover(target, cost, max_calls=max_calls)
     bb.seed(tuple(greedy), frozen)
-    found = bb.search(frozen)
+    try:
+        found = bb.search(frozen)
+    except RecursionError:
+        # the exclude branch recurses once per eliminated candidate; with
+        # O(p^2) compound candidates a long exclude chain can exceed the
+        # interpreter recursion limit before the call budget — fall back to
+        # the greedy cover rather than crash
+        found = bb.best or None
     if found is None:
         return [candidates[i] for i in greedy]
     # deterministic output order: as enumerated in the candidate list

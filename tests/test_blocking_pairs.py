@@ -141,6 +141,45 @@ def test_bucketed_join():
         bucketed_join(left, left, on="k")  # column collision
 
 
+def test_bucketed_join_outer_and_null_keys():
+    """SQL null semantics: null keys never match; right/outer keep unmatched
+    rows; int dtypes survive null-filling (no NaN float widening)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.joins import bucketed_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 5], pa.int64()),
+        "lv": pa.array([10, 20, 30, 50], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 2, None, 4], pa.int64()),
+        "rv": pa.array([200, 201, 999, 400], pa.int64()),
+    })).repartition(2)
+
+    inner = bucketed_join(left, right, on="k").to_pandas()
+    assert sorted(inner["rv"].tolist()) == [200, 201]  # nulls never match
+
+    lj = bucketed_join(left, right, on="k", how="left").to_pandas()
+    assert len(lj) == 5  # 2 matches + unmatched 1, 5 and the null-key row
+    assert lj[lj["k"].isna()]["rv"].isna().all()  # null did NOT match null
+
+    rj = bucketed_join(left, right, on="k", how="right")
+    assert [str(t) for t in rj.schema().types] == ["int64"] * 3  # dtype kept
+    rj = rj.to_pandas()
+    assert len(rj) == 4  # 2 matches + unmatched 4 and the null-key row
+    assert rj[rj["rv"] == 400]["lv"].isna().all()
+
+    oj = bucketed_join(left, right, on="k", how="outer").to_pandas()
+    # 2 matches + left-unmatched {1, 5, null} + right-unmatched {4, null}
+    assert len(oj) == 7
+    assert oj["k"].isna().sum() == 2  # the two null-key rows stay distinct
+    mask = oj["k"].isna()
+    assert not (oj[mask]["lv"].notna() & oj[mask]["rv"].notna()).any()
+
+
 def test_asof_join():
     import pandas as pd
     import pyarrow as pa
