@@ -84,6 +84,31 @@ def haversine_sqrt(latlong_a, latlong_b) -> float:
     return math.sqrt(angle * _EARTH_RADIUS_KM)
 
 
+def batch_haversine_sqrt(latlongs_a, latlongs_b) -> np.ndarray:
+    """Vectorized ``haversine_sqrt`` over sequences of (lat, lon) pairs;
+    NaN where either side is missing/empty."""
+    n = len(latlongs_a)
+    A = np.full((n, 2), np.nan)
+    B = np.full((n, 2), np.nan)
+    for i, v in enumerate(latlongs_a):
+        if v is not None and len(v) == 2:
+            A[i] = v
+    for i, v in enumerate(latlongs_b):
+        if v is not None and len(v) == 2:
+            B[i] = v
+    A = np.radians(A)
+    B = np.radians(B)
+    dlat = B[:, 0] - A[:, 0]
+    dlon = B[:, 1] - A[:, 1]
+    h = (
+        np.sin(dlat / 2) ** 2
+        + np.cos(A[:, 0]) * np.cos(B[:, 0]) * np.sin(dlon / 2) ** 2
+    )
+    with np.errstate(invalid="ignore"):
+        angle = 2 * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+        return np.sqrt(angle * _EARTH_RADIUS_KM)
+
+
 def price_difference(p1, p2) -> float:
     """|log10 p1 - log10 p2|; NaN for non-positive/missing prices."""
     if p1 is None or p2 is None or p1 <= 0 or p2 <= 0:

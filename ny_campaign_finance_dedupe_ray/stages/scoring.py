@@ -110,7 +110,7 @@ def py_feature_values(f, batch: pa.Table) -> np.ndarray:
     matching the reference's missing-data rule (datamodel.py:74-115) —
     callers zero-fill and pair with a ``not_missing`` dummy."""
     from ..functions import comparators as C
-    from ..functions.affinegap import normalized_affine_gap_distance
+    from ..functions.affinegap import batch_normalized_affine_gap
 
     a = batch.column(f"{f.field}_a")
     b = batch.column(f"{f.field}_b")
@@ -127,19 +127,11 @@ def py_feature_values(f, batch: pa.Table) -> np.ndarray:
     n = len(va)
 
     if f.kind == "latlong":
-        return np.array(
-            [C.haversine_sqrt(x, y) for x, y in zip(va, vb)], dtype=np.float64
-        )
+        return C.batch_haversine_sqrt(va, vb)
     if f.kind == "affine_gap":
-        return np.array(
-            [
-                np.nan
-                if not x or not y
-                else normalized_affine_gap_distance(x, y)
-                for x, y in zip(va, vb)
-            ],
-            dtype=np.float64,
-        )
+        # batch Gotoh DP (functions/affinegap.py) — one vectorized chunk per
+        # length class instead of one Python DP per pair; NaN for missing
+        return batch_normalized_affine_gap(va, vb)
     if f.kind == "cosine_text":
         return np.array(
             [C.cosine_text(x, y) for x, y in zip(va, vb)], dtype=np.float64

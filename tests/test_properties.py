@@ -12,6 +12,9 @@ from hypothesis import given, settings, strategies as st
 from ny_campaign_finance_dedupe_ray.functions import hashing as H
 from ny_campaign_finance_dedupe_ray.functions import predicates as P
 from ny_campaign_finance_dedupe_ray.functions.affinegap import (
+    affine_gap_distance,
+    batch_affine_gap_distance,
+    batch_normalized_affine_gap,
     normalized_affine_gap_distance,
 )
 from ny_campaign_finance_dedupe_ray.stages.clustering import UnionFind
@@ -51,6 +54,24 @@ def test_affine_gap_symmetric_nonnegative(a, b):
     d2 = normalized_affine_gap_distance(b, a)
     assert abs(d1 - d2) < 1e-6
     assert d1 >= 0
+
+
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_batch_affine_gap_matches_scalar(pairs):
+    """The numpy batch Gotoh DP is exactly the scalar recurrence, pair by
+    pair — including the abbreviation-discount region and the fast paths."""
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = batch_affine_gap_distance(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert abs(got[i] - affine_gap_distance(x, y)) < 1e-9, (x, y)
+    norm = batch_normalized_affine_gap(a, b)
+    for i, (x, y) in enumerate(pairs):
+        if not x or not y:
+            assert np.isnan(norm[i])
+        else:
+            assert abs(norm[i] - normalized_affine_gap_distance(x, y)) < 1e-9
 
 
 @given(st.text(alphabet="abcdef ", min_size=10, max_size=80),
