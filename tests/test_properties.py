@@ -123,6 +123,50 @@ def test_union_find_matches_reachability(edges):
         assert (uf.find(a) == uf.find(b)) == (b in component(a))
 
 
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_numpy_components_matches_union_find(edges):
+    """The vectorized min-label CC produces exactly the union-find
+    partition (labels may differ; the grouping may not)."""
+    from ny_campaign_finance_dedupe_ray.stages.clustering import (
+        numpy_components,
+    )
+
+    ids_a = np.array([f"n{a}" for a, _ in edges], dtype=object)
+    ids_b = np.array([f"n{b}" for _, b in edges], dtype=object)
+    comp = numpy_components(ids_a, ids_b)
+    uf = UnionFind()
+    for a, b in zip(ids_a, ids_b):
+        uf.union(a, b)
+    ref = [uf.find(a) for a in ids_a]
+    # bijection between the two labelings over edge sources
+    fwd: dict = {}
+    bwd: dict = {}
+    for c, r in zip(comp, ref):
+        assert fwd.setdefault(c, r) == r
+        assert bwd.setdefault(r, c) == c
+
+
+def test_numpy_components_deep_chain():
+    """A 200k-node path graph (worst-case diameter) collapses to one
+    component in ~log rounds of pointer jumping."""
+    from ny_campaign_finance_dedupe_ray.stages.clustering import (
+        numpy_components,
+    )
+
+    k = 200_000
+    ids_a = np.array([f"c{x:07d}" for x in range(k)], dtype=object)
+    ids_b = np.array([f"c{x + 1:07d}" for x in range(k)], dtype=object)
+    comp = numpy_components(ids_a, ids_b)
+    assert len(set(comp.tolist())) == 1
+
+
 @given(st.integers(2, 200), st.integers(1, 300), st.integers(0, 2**31 - 1))
 @settings(max_examples=60, deadline=None)
 def test_random_pairs_in_triangle(n, size, seed):
