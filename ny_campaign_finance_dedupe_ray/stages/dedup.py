@@ -532,25 +532,31 @@ def embedding_neardup_pairs(
               for _ in range(n_probes)]
 
     def emit(t: pa.Table) -> pa.Table:
-        emb = np.stack(t.column(embedding_column).to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = emb / norms
+        # zero-copy (n, dim) matrix from the Arrow list buffer (ann._to_matrix)
+        # and FixedSizeList re-emit straight from the numpy buffer — the old
+        # to_pylist/list-of-lists round trip boxed every float through Python
+        from .ann import _to_matrix, _unit
+
+        unit = _unit(_to_matrix(t.column(embedding_column)))
+        n, dim = unit.shape
         ids = t.column(id_column)
-        keys, row_idx = [], []
+        bit_weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+        keys = np.empty(n_probes * n, dtype=np.int64)
         for p, P in enumerate(planes):
-            bits = (unit @ P.T > 0).astype(np.uint32)
-            code = np.zeros(len(unit), dtype=np.uint32)
-            for b in range(P.shape[0]):
-                code |= bits[:, b] << b
-            keys.extend(f"{p}:{int(c)}" for c in code)
-            row_idx.extend(range(len(unit)))
-        idx = pa.array(np.asarray(row_idx, dtype=np.int64))
+            bits = (unit @ P.T > 0).astype(np.uint64)
+            code = bits @ bit_weights
+            keys[p * n:(p + 1) * n] = (
+                np.uint64(p) << np.uint64(n_planes)
+            ).astype(np.int64) + code.astype(np.int64)
+        row_idx = np.tile(np.arange(n, dtype=np.int64), n_probes)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(unit[row_idx].ravel()), dim
+        )
         return pa.table(
             {
-                "bkey": pa.array(keys, pa.string()),
-                "id": ids.take(idx),
-                "vec": pa.array(list(unit[np.asarray(row_idx)]), pa.list_(pa.float64())),
+                "bkey": pa.array(keys),
+                "id": ids.take(pa.array(row_idx)),
+                "vec": vec,
             }
         )
 
@@ -590,11 +596,15 @@ def embedding_neardup_pairs(
         return pd.concat(outs, ignore_index=True)
 
     def bucket(t: pa.Table) -> pa.Table:
-        col = t.column("bkey")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        h = H.hash64_str(col)
-        return t.append_column("bucket", pa.array((h % np.uint64(64)).astype(np.int64)))
+        # splitmix64 finalizer over the integer code — mixes the probe and
+        # sign bits so code-locality doesn't skew the shuffle
+        k = t.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        k = (k ^ (k >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        k ^= k >> np.uint64(31)
+        return t.append_column(
+            "bucket", pa.array((k % np.uint64(64)).astype(np.int64))
+        )
 
     pairs = (
         ds.map_batches(emit, batch_format="pyarrow")
