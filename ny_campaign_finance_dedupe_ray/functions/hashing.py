@@ -32,9 +32,26 @@ def _perm_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SHORT_LEN = 64  # rows at or under this byte length take the FNV path
+
+
+def _splitmix64(k: np.ndarray) -> np.ndarray:
+    k = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    k = (k ^ (k >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return k ^ (k >> np.uint64(31))
+
+
 def hash64_str(values: "pa.Array | list[str]") -> np.ndarray:
-    """Stable FNV-1a 64-bit hash per string, vectorized over the
-    concatenated utf-8 buffer."""
+    """Stable 64-bit hash per string, vectorized over the concatenated
+    utf-8 buffer.
+
+    Hybrid by row length (deterministic per string — the path depends only
+    on the string's own byte length): rows up to ``_SHORT_LEN`` bytes use
+    FNV-1a via a per-position loop (bounded at 64 vectorized iterations);
+    longer rows — full document text in ``exact_dedup`` can be 100 KB —
+    use an O(total_bytes) polynomial hash (one power-table cumprod + one
+    ``np.add.reduceat`` over byte contributions) finished with splitmix64,
+    instead of an O(max_len) Python iteration count."""
     if not isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = pa.array(values, pa.string())
     if isinstance(values, pa.ChunkedArray):
@@ -42,14 +59,72 @@ def hash64_str(values: "pa.Array | list[str]") -> np.ndarray:
     buf, offsets = _texts_to_buffer(values)
     n = len(values)
     out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    # per-position loop bounded by max string length; each iteration is a
-    # vectorized update over all rows still long enough
     lens = offsets[1:] - offsets[:-1]
     max_len = int(lens.max()) if n else 0
-    for j in range(max_len):
-        mask = lens > j
-        idx = offsets[:-1][mask] + j
-        out[mask] = (out[mask] ^ buf[idx].astype(np.uint64)) * _FNV_PRIME
+
+    short = lens <= _SHORT_LEN
+    starts = offsets[:-1]
+    if short.any():
+        s_starts = starts[short]
+        s_lens = lens[short]
+        s_out = np.full(int(short.sum()), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(min(max_len, _SHORT_LEN)):
+            mask = s_lens > j
+            idx = s_starts[mask] + j
+            s_out[mask] = (s_out[mask] ^ buf[idx].astype(np.uint64)) * _FNV_PRIME
+        out[short] = s_out
+
+    long = ~short
+    if long.any():
+        # h_row = sum_j byte_j * B^(len-1-j) mod 2^64.  Power table by
+        # cumprod (wraps mod 2^64); exponent per byte from its row's end
+        # offset.  Computed over CONSECUTIVE ROW CHUNKS of bounded byte
+        # span: the per-byte temporaries (exp, w) are int64/uint64 — 16x
+        # the input bytes — and GB-scale allocations stall hard on this
+        # class of VM (khugepaged), so each chunk stays ~cache-sized.
+        # Short rows inside a chunk are computed and discarded (<= 64 B
+        # each, bounded waste) — chunking stays a simple offset split.
+        pow_b = np.empty(max_len, dtype=np.uint64)
+        pow_b[0] = 1
+        np.cumprod(
+            np.full(max_len - 1, _FNV_PRIME, dtype=np.uint64),
+            out=pow_b[1:],
+        )
+        length_salt = lens.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        chunk_bytes = 1 << 22  # 4 MiB of input per chunk
+        r0 = 0
+        while r0 < n:
+            # widest row range starting at r0 with span <= chunk_bytes
+            # (always at least one row)
+            r1 = int(
+                np.searchsorted(
+                    offsets, offsets[r0] + chunk_bytes, side="right"
+                )
+            ) - 1
+            r1 = max(r1, r0 + 1)
+            c_long = long[r0:r1]
+            if not c_long.any():
+                r0 = r1
+                continue
+            base = int(offsets[r0])
+            span = int(offsets[r1]) - base
+            exp = np.repeat(offsets[r0 + 1: r1 + 1], lens[r0:r1])
+            exp -= 1 + base
+            exp -= np.arange(span, dtype=np.int64)
+            w = pow_b[exp]
+            w *= buf[base: base + span]
+            # reduceat boundary: an empty row at the chunk end has
+            # start == span, which reduceat rejects — append a zero
+            # sentinel so that segment sums harmlessly (middle empty rows
+            # are fine: reduceat yields one element, discarded by the
+            # [c_long] mask)
+            red_starts = starts[r0:r1] - base
+            if len(red_starts) and red_starts[-1] == span:
+                w = np.append(w, np.uint64(0))
+            h = np.add.reduceat(w, red_starts)[c_long]
+            idx = np.nonzero(c_long)[0] + r0
+            out[idx] = _splitmix64(h ^ length_salt[idx])
+            r0 = r1
     return out
 
 

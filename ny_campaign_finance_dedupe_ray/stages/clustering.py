@@ -647,9 +647,11 @@ def greedy_matching(scores: "ray.data.Dataset") -> pd.DataFrame:
     unseen endpoints.  Inherently sequential (clustering.py:265-277) —
     distributed sort, then a single driver scan.  The scan STREAMS sorted
     batches (iter_batches) so the driver holds only the seen-endpoint sets
-    and the accepted links, never the full edge list."""
+    and the accepted links, never the full edge list.  Equal scores
+    tie-break on (id_a, id_b) so the output is a pure function of the
+    score table — not of block order or internal shuffle hashes."""
     sorted_scores = scores.select_columns(["id_a", "id_b", "score"]).sort(
-        "score", descending=True
+        ["score", "id_a", "id_b"], descending=[True, False, False]
     )
     seen_a: set = set()
     seen_b: set = set()

@@ -92,6 +92,38 @@ def test_hash64_str_stability():
     assert v2[0] == v[0] and v2[1] == v[1]
 
 
+def test_hash64_str_long_path():
+    """Rows over 64 bytes take the O(bytes) polynomial path; the hash must
+    still be a pure function of the string — invariant to batch
+    composition, slicing, and neighboring rows."""
+    longs = [f"doc{i} " + ("lorem ipsum dolor sit amet " * 40) + str(i % 5)
+             for i in range(50)]
+    h = H.hash64_str(longs)
+    assert len(set(h.tolist())) == 50
+    # batch-composition invariance: mixed with shorts / empties / reordered
+    mixed = ["", "tiny"] + longs[10:20] + ["x" * 64, "x" * 65]
+    hm = H.hash64_str(mixed)
+    assert (hm[2:12] == h[10:20]).all()
+    # sliced arrow input, trailing empty row
+    arr = pa.array(longs + ["", ""])
+    assert (H.hash64_str(arr)[:50] == h).all()
+    assert (H.hash64_str(arr.slice(5, 20)) == h[5:25]).all()
+    # one-char difference in a 1KB string still separates
+    a = "q" * 1000 + "a"
+    b = "q" * 1000 + "b"
+    ha, hb = H.hash64_str([a, b])
+    assert ha != hb
+    # short rows (<= 64 bytes) remain exact FNV-1a
+    def scalar_fnv(s):
+        h64 = 14695981039346656037
+        for byte in s.encode("utf-8"):
+            h64 = ((h64 ^ byte) * 1099511628211) % (1 << 64)
+        return h64
+
+    for s in ["", "a", "x" * 63, "x" * 64, "ünïcodé!"]:
+        assert int(H.hash64_str([s])[0]) == scalar_fnv(s)
+
+
 def test_jaccard_shingles():
     assert H.jaccard_shingles("hello world", "hello world") == 1.0
     assert H.jaccard_shingles("", "") == 1.0
