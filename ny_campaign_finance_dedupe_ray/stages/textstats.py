@@ -11,66 +11,28 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions import hashing as H
-
-# Tiny seeded character-trigram profiles for an n-gram language heuristic.
-# Built from common function words — a deterministic, dependency-free
-# stand-in for a real langid model (the Ray plumbing is the point).
-_LANG_PROFILES: dict[str, set[str]] = {
-    "en": {"the", "he ", " th", "and", "nd ", "ing", "ng ", " an", "ed ", " of",
-           "of ", "ion", " to", "to ", " in", "in ", "ent", "is "},
-    "de": {"der", "er ", " de", "die", "ie ", "und", " un", "en ", "ein",
-           "ich", "ch ", "sch", " ei", "das", "as ", "ung"},
-    "fr": {"le ", " le", "les", "es ", "de ", " de", "des", "ent", "que",
-           " qu", "ue ", "la ", " la", "ion", "eur", " et", "et "},
-}
+from ..functions import langid_model as LM
 
 
 class LangId:
-    """Actor-pool language classifier: profile trigram HASHES built once per
-    actor (__init__), per-batch fully vectorized voting — the batch's byte
-    trigrams come from the same rolling hash as the dedup shinglers, and a
-    3-byte window matching an ascii profile trigram is necessarily a real
-    character trigram (multibyte UTF-8 bytes are >= 0x80), so distinct-match
-    counts equal the per-row Python set intersection exactly."""
+    """Actor-pool language classifier: a trained hashed char-ngram
+    multinomial logistic (functions/langid_model.py; 8 languages, 99.6%
+    held-out on the seeded synthetic corpus, trained offline by
+    tools/train_langid.py).  The ~130 KiB npz artifact (weights + a Bloom
+    filter over training n-grams for the gibberish/unseen-script guard)
+    loads once per actor in __init__; each batch is one W[buckets] gather
+    + segment-sum over the first 256 chars of every row — O(bytes), no
+    per-row Python."""
 
-    def __init__(self):
-        self.langs = list(_LANG_PROFILES)
-        self.profile_hashes = []
-        for lang in self.langs:
-            grams = sorted(_LANG_PROFILES[lang])
-            h, _ = H.shingle_hashes(pa.array(grams, pa.string()), k=3)
-            self.profile_hashes.append(np.unique(h))
+    def __init__(self, artifact_path: str = LM.ARTIFACT_PATH):
+        self.W, self.b, self.langs, self.bloom = LM.load_artifact(
+            artifact_path
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        lowered = pc.utf8_lower(text.fill_null(""))
-        if isinstance(lowered, pa.ChunkedArray):
-            lowered = lowered.combine_chunks()
-        h, splits = H.shingle_hashes(lowered, k=3)
-        n = batch.num_rows
-        # distinct trigrams per row: one lexsort over the batch buffer
-        counts_per_row = np.diff(splits)
-        rows = np.repeat(np.arange(n, dtype=np.int64), counts_per_row)
-        if len(h):
-            order = np.lexsort((h, rows))
-            sr, sh = rows[order], h[order]
-            uniq = np.empty(len(sr), dtype=bool)
-            uniq[0] = True
-            uniq[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
-            ur, uh = sr[uniq], sh[uniq]
-        else:
-            ur = np.empty(0, np.int64)
-            uh = h
-        votes = np.zeros((n, len(self.langs)), dtype=np.int64)
-        for li, prof in enumerate(self.profile_hashes):
-            hit = np.isin(uh, prof)
-            votes[:, li] = np.bincount(ur[hit], minlength=n)
-        best_idx = votes.argmax(axis=1)  # ties -> earlier lang, like the
-        best_n = votes.max(axis=1) if n else np.empty(0, np.int64)  # dict scan
-        lang_arr = np.array(self.langs + ["unknown"], dtype=object)
-        pred = lang_arr[np.where(best_n >= 2, best_idx, len(self.langs))]
+        pred = LM.predict(
+            self.W, self.b, self.langs, batch.column("text"), self.bloom
+        )
         return batch.append_column(
             "lang_pred", pa.array(pred.tolist(), pa.string())
         )

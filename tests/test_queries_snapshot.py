@@ -39,7 +39,7 @@ EXPECTED = {
     "dedupe_pages": "bbd677bafcbc979661a849b237d4b50ac2e3682d4fa87ba6be77247d3a938d31",
     "minhash_clusters": "6de903d6aec1f5de32edc8f056eeffc84dbc2d35caa19fb064afc3e618a415ea",
     "simhash_signatures": "897a5adfee73c227d9a97f0005084f9bc77b32ebce89dd5c2c4eecce8e3565e7",
-    "lang_id": "96cdc33af4cbc39a77891ce440b407497b3998eca8240e21978f534844ea266c",
+    "lang_id": "8691b1187534ba302292b196c35cf4938462e0662b60d447d69c3a9ac5edfedf",
     "quality_score": "aa888371a3e062e5ed7b345aef2a6dea09a914f994ccd06fecae2c15cf69586d",
     "fingerprints": "398e1bf5972368d931e143fd52250581e3357690e39d09f81c86581165c274ae",
     "embedding_neardup": "946c797c8cc62b9f9977f5f7e71642af9b0ea622682e247e8996db6f3a1d80c4",
