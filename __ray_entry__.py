@@ -181,6 +181,17 @@ def _q_lang_id(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def _q_tfidf_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.index_predicates import (
+        tfidf_similarity_pairs,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_similarity_pairs(docs, "text", threshold=0.9, id_column="doc_id")
+
+
 def _q_quality(sf_dir: str):
     import ray.data as rd
 
@@ -456,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _q_minhash_clusters,
         "simhash_signatures": _q_simhash,
         "normalize_docs": _q_normalize_docs,
+        "tfidf_pairs": _q_tfidf_pairs,
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -593,6 +605,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_items "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
             "GROUP BY p.p_type ORDER BY p.p_type"
+        ),
+        "tfidf_pairs": (
+            # distributed tf-idf all-pairs cosine (index_predicates.py):
+            # tf = raw count, idf = ln(1 + N/df), stop words df > max(1000,
+            # 0.05N), weights L2-normalized per doc, pairs id_a < id_b
+            "WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+            "tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+            "'[^0-9A-Za-z_]+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf "
+            "FROM tok WHERE term <> '' GROUP BY 1, 2), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+            "idf AS (SELECT term, LN(1 + (SELECT n FROM n) / df) AS idf "
+            "FROM df WHERE df <= GREATEST(1000, 0.05 * (SELECT n FROM n))), "
+            "w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w "
+            "FROM tf JOIN idf USING (term)), "
+            "norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1), "
+            "wn AS (SELECT w.doc_id, w.term, w.w / norms.nrm AS wn "
+            "FROM w JOIN norms USING (doc_id)), "
+            "dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "SUM(a.wn * b.wn) AS cosine FROM wn a JOIN wn b "
+            "ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM dots "
+            "WHERE cosine >= 0.9 ORDER BY id_a, id_b"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "

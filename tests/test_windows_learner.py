@@ -270,3 +270,85 @@ def test_learn_blocking_branch_bound_end_to_end():
             if any(set(r(records[a])) & set(r(records[b])) for r in rules)
         )
         assert covered == 3
+
+
+def test_index_side_cap_raises():
+    """A corpus-sized index side must raise, not OOM the driver
+    (VERDICT r2 item 3)."""
+    import pytest
+
+    docs = rd.from_items(
+        [{"record_id": str(i), "name": f"text {i}"} for i in range(30)]
+    )
+    with pytest.raises(IP.IndexSideTooLarge):
+        IP.tfidf_canopy_blocks(docs, "name", max_index_rows=10)
+    with pytest.raises(IP.IndexSideTooLarge):
+        IP.levenshtein_within_blocks(docs, "name", max_index_rows=10)
+    # explicit small index side over a big record side is fine
+    small = rd.from_items(
+        [{"record_id": str(i), "name": f"text {i}"} for i in range(5)]
+    )
+    out = IP.tfidf_canopy_blocks(
+        docs, "name", threshold=0.9, index_side=small, max_index_rows=10
+    ).to_pandas()
+    assert len(out) > 0
+
+
+def test_tfidf_similarity_pairs_matches_broadcast_index():
+    """The distributed term-bucketed path must reproduce the broadcast
+    TfIdfIndex cosine exactly (ascii corpus; same df/idf/stop rules)."""
+    rng = np.random.default_rng(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(3, 12)).tolist())
+        for _ in range(40)
+    ]
+    texts += ["", None]  # empty/null rows must not break anything
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(5)
+    threshold = 0.5
+    got = (
+        IP.tfidf_similarity_pairs(docs, "text", threshold=threshold)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force: recompute per-doc weights from the broadcast index
+    index = IP.TfIdfIndex({i: t for i, t in enumerate(texts)})
+    exp = []
+    import collections
+
+    weights = {}
+    for did in range(len(texts)):
+        toks = IP._WORDS((texts[did] or "").lower())
+        tf = collections.Counter(t for t in toks if t in index.idf)
+        weights[did] = {t: c * index.idf[t] for t, c in tf.items()}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            na, nb = index.norms.get(a, 0), index.norms.get(b, 0)
+            if not na or not nb:
+                continue
+            s = sum(
+                v * weights[b].get(t, 0.0) for t, v in weights[a].items()
+            )
+            cos = s / (na * nb)
+            if cos >= threshold:
+                exp.append((a, b, round(cos, 6)))
+    exp_df = (
+        pd.DataFrame(exp, columns=["id_a", "id_b", "cosine"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp_df), (len(got), len(exp_df))
+    assert (got["id_a"].to_numpy() == exp_df["id_a"].to_numpy()).all()
+    assert (got["id_b"].to_numpy() == exp_df["id_b"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), exp_df["cosine"].to_numpy(), atol=2e-6
+    )
