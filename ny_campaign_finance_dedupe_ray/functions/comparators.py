@@ -124,3 +124,153 @@ def exists_dummies(a, b) -> np.ndarray:
     if pa_ or pb:
         return np.array([0.0, 1.0])
     return np.array([0.0, 0.0])
+
+
+def _row_token_counts(keys: np.ndarray, distinct: bool):
+    """Per-(row, token) counts from a combined ``row * n_codes + code``
+    int64 key array: one C sort.  distinct=True collapses counts to 1
+    (set semantics).  Returns (sorted unique keys, counts)."""
+    if not len(keys):
+        return keys, np.empty(0, np.float64)
+    sk = np.sort(keys)
+    new = np.empty(len(sk), dtype=bool)
+    new[0] = True
+    new[1:] = sk[1:] != sk[:-1]
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, len(sk))).astype(np.float64)
+    if distinct:
+        counts = np.ones_like(counts)
+    return sk[starts], counts
+
+
+def _sparse_pair_cosine(
+    keys_a, ca, keys_b, cb, n_codes: int, n: int, missing: np.ndarray
+) -> np.ndarray:
+    """Cosine per pair row from two unique-key count tables (key =
+    row * n_codes + code).
+
+    num = sum over shared tokens of ca*cb, den = ||a|| * ||b||; rows in
+    ``missing`` -> NaN; both-sides-tokenless rows -> 0.0 (the scalar
+    comparators' den==0 rule)."""
+    n = int(n)
+    out = np.zeros(n, dtype=np.float64)
+    norm_a = np.bincount(keys_a // n_codes, weights=ca * ca, minlength=n)
+    norm_b = np.bincount(keys_b // n_codes, weights=cb * cb, minlength=n)
+    # shared tokens: both tables are sorted and unique, so a merge —
+    # concatenate + sort — puts each shared (row, token) key adjacent,
+    # once from each side
+    keys = np.concatenate([keys_a, keys_b])
+    counts = np.concatenate([ca, cb])
+    if len(keys):
+        order = np.argsort(keys, kind="stable")
+        sk, sc = keys[order], counts[order]
+        same = sk[1:] == sk[:-1]
+        out = np.bincount(
+            sk[1:][same] // n_codes,
+            weights=sc[1:][same] * sc[:-1][same],
+            minlength=n,
+        ).astype(np.float64)
+    den = np.sqrt(norm_a) * np.sqrt(norm_b)
+    nz = den > 0
+    out[nz] /= den[nz]
+    out[~nz] = 0.0
+    out[missing] = np.nan
+    return out
+
+
+def _paired_codes(flat_a, flat_b, rows_a, rows_b):
+    """Dictionary-encode BOTH sides' tokens in one pass (exact token
+    identity — no hashing, no collisions) and build combined
+    row * n_codes + code sort keys for each side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    combined = pa.concat_arrays(
+        [flat_a.combine_chunks() if isinstance(flat_a, pa.ChunkedArray) else flat_a,
+         flat_b.combine_chunks() if isinstance(flat_b, pa.ChunkedArray) else flat_b]
+    )
+    enc = pc.dictionary_encode(combined)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_codes = max(len(enc.dictionary), 1)
+    ka = rows_a * n_codes + codes[: len(rows_a)]
+    kb = rows_b * n_codes + codes[len(rows_a):]
+    return ka, kb, n_codes
+
+
+def batch_cosine_text(a, b) -> np.ndarray:
+    """Vectorized cosine_text over two string arrays: str.split-parity
+    whitespace tokenization (utf8_split_whitespace, fuzz-verified against
+    Python str.split over controls/separators), one dictionary-encode for
+    exact token identity, then sort-merge segment sums — no per-pair
+    Python (VERDICT r2 'weak' scoring path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def side(vals):
+        if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
+            vals = pa.array(
+                [v if v is not None else None for v in vals], pa.string()
+            )
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        missing = np.asarray(
+            pc.or_kleene(
+                pc.is_null(vals), pc.equal(vals.fill_null(""), "")
+            ).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        toks = pc.utf8_split_whitespace(vals.fill_null(""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+        # split_whitespace emits empty strings at string edges — drop them
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(keep)), rows[keep], missing
+
+    flat_a, rows_a, miss_a = side(a)
+    flat_b, rows_b, miss_b = side(b)
+    ka_all, kb_all, n_codes = _paired_codes(flat_a, flat_b, rows_a, rows_b)
+    ka, ca = _row_token_counts(ka_all, distinct=False)
+    kb, cb = _row_token_counts(kb_all, distinct=False)
+    return _sparse_pair_cosine(
+        ka, ca, kb, cb, n_codes, len(miss_a), miss_a | miss_b
+    )
+
+
+def batch_cosine_set(a, b) -> np.ndarray:
+    """Vectorized cosine_set over two list-of-string arrays (or Python
+    lists of iterables): set-intersection cosine via the same sort-merge
+    kernel, distinct element counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def side(vals):
+        if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
+            vals = pa.array(
+                [list(v) if v is not None else None for v in vals],
+                pa.list_(pa.string()),
+            )
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lens = pc.list_value_length(vals).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        missing = np.asarray(
+            pc.is_null(vals).to_numpy(zero_copy_only=False), dtype=bool
+        ) | (lens == 0)
+        # flatten drops null rows entirely, so lens (with nulls as 0)
+        # still aligns rows with flattened values
+        flat = pc.list_flatten(vals).cast(pa.string()).fill_null("")
+        rows = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+        return flat, rows, missing
+
+    flat_a, rows_a, miss_a = side(a)
+    flat_b, rows_b, miss_b = side(b)
+    ka_all, kb_all, n_codes = _paired_codes(flat_a, flat_b, rows_a, rows_b)
+    ka, ca = _row_token_counts(ka_all, distinct=True)
+    kb, cb = _row_token_counts(kb_all, distinct=True)
+    return _sparse_pair_cosine(
+        ka, ca, kb, cb, n_codes, len(miss_a), miss_a | miss_b
+    )

@@ -197,3 +197,67 @@ def test_scorer_all_python_model():
     out = s(batch)
     # identical names: affine gap ~0.5 (normalized match weight) -> high score
     assert out.num_rows == 1 and out.column("id_a")[0].as_py() == "x"
+
+
+def test_batch_cosine_text_matches_scalar_fuzz():
+    """Vectorized cosine_text == scalar per pair, including whitespace
+    oddities (the RE2-vs-str.split parity class) and missing rows."""
+    from hypothesis import given, settings, strategies as st
+
+    from ny_campaign_finance_dedupe_ray.functions import comparators as C
+
+    token_text = st.text(
+        alphabet=st.characters(max_codepoint=0x2FFF), max_size=30
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), token_text),
+                st.one_of(st.none(), token_text),
+            ),
+            max_size=12,
+        )
+    )
+    def check(pairs):
+        va = [p[0] for p in pairs]
+        vb = [p[1] for p in pairs]
+        got = C.batch_cosine_text(va, vb)
+        exp = np.array(
+            [C.cosine_text(x, y) for x, y in zip(va, vb)], dtype=np.float64
+        )
+        np.testing.assert_allclose(got, exp, atol=1e-12, equal_nan=True)
+
+    check()
+
+
+def test_batch_cosine_set_matches_scalar_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    from ny_campaign_finance_dedupe_ray.functions import comparators as C
+
+    elem = st.text(
+        alphabet=st.characters(max_codepoint=0x2FFF), max_size=8
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.lists(elem, max_size=8)),
+                st.one_of(st.none(), st.lists(elem, max_size=8)),
+            ),
+            max_size=12,
+        )
+    )
+    def check(pairs):
+        va = [p[0] for p in pairs]
+        vb = [p[1] for p in pairs]
+        got = C.batch_cosine_set(va, vb)
+        exp = np.array(
+            [C.cosine_set(x, y) for x, y in zip(va, vb)], dtype=np.float64
+        )
+        np.testing.assert_allclose(got, exp, atol=1e-12, equal_nan=True)
+
+    check()
