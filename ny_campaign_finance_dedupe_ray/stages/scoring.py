@@ -50,6 +50,7 @@ _PYTHON_KINDS = frozenset(
         "interaction",
         "custom",
         "affine_gap",
+        "crf_edit",
         "cosine_text",
         "cosine_set",
         "price",
@@ -139,6 +140,12 @@ def py_feature_values(f, batch: pa.Table) -> np.ndarray:
         # batch Gotoh DP (functions/affinegap.py) — one vectorized chunk per
         # length class instead of one Python DP per pair; NaN for missing
         return batch_normalized_affine_gap(va, vb)
+    if f.kind == "crf_edit":
+        from ..functions.editcrf import DEFAULT_PARAMS, crf_edit_scores
+
+        return crf_edit_scores(
+            va, vb, tuple((f.params or {}).get("params", DEFAULT_PARAMS))
+        )
     if f.kind == "exists_both":
         return np.array(
             [1.0 if (x and y) else 0.0 for x, y in zip(va, vb)],

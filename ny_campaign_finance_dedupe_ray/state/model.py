@@ -38,6 +38,12 @@ FEATURE_KINDS = (
     "affine_gap",        # normalizedAffineGapDistance — the reference's
                          # default String/ShortString comparator
                          # (variables/string.py:60-66, datamodel.py:74-115)
+    "crf_edit",          # learned edit distance — counterpart of the
+                         # optional CRFEditDistance (String(crf=True),
+                         # variables/string.py:60-66): pair-HMM Viterbi
+                         # log-odds on the batched Gotoh kernel with
+                         # fit_crf_edit-learned costs (functions/editcrf.py);
+                         # params = {"params": (mismatch, open, extend)}
     "cosine_text",       # TF cosine over tokens (Text w/ corpus,
                          # variables/string.py:78-93)
     "cosine_set",        # cosine over set elements (variables/set.py:21-27)
