@@ -49,8 +49,8 @@ MEDIA_SCHEMA = pa.schema(
 # paths BEFORE payloads reach a decode actor instead of crashing inside
 # it (the VERDICT r2 'honest at scale' flag).
 NATIVE_MIMES: frozenset = frozenset(
-    {"image/x-portable-pixmap", "image/ppm", "audio/wav", "audio/x-wav",
-     "audio/wave"}
+    {"image/x-portable-pixmap", "image/ppm", "image/jpeg", "image/jpg",
+     "audio/wav", "audio/x-wav", "audio/wave"}
 )
 
 
@@ -58,7 +58,7 @@ def _payload_native(kind: str, payload: bytes | None) -> bool:
     if not payload:
         return False
     if kind == "image":
-        return payload.startswith(b"P6")
+        return payload.startswith(b"P6") or payload.startswith(b"\xff\xd8")
     if kind == "audio":
         return payload.startswith(b"RIFF")
     return False
@@ -204,12 +204,18 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 class DecodeImage:
     """Actor: decode + resize + feature-extract an image payload column.
 
-    PPM (P6) payloads decode for real (``decode_ppm``); compressed mimes
-    need a codec library absent here — they raise NotImplementedError
+    PPM (P6) and baseline JPEG payloads decode for real (``decode_ppm``,
+    ``functions/jpeg.decode_jpeg`` — a pure-numpy T.81 baseline decoder,
+    4:4:4/4:2:2/4:2:0/grayscale/restart markers); other compressed mimes
+    (PNG, progressive JPEG, video codecs) raise NotImplementedError
     unless ``fake=True`` substitutes the deterministic pseudo-feature."""
 
     def __init__(self, target_size: tuple[int, int] = (224, 224),
                  feature_dim: int = 64, fake: bool = False):
+        from ..functions.jpeg import UnsupportedJpeg, decode_jpeg
+
+        self._decode_jpeg = decode_jpeg
+        self._jpeg_err = UnsupportedJpeg
         self.target_size = target_size
         self.feature_dim = feature_dim
         self.fake = fake
@@ -218,8 +224,18 @@ class DecodeImage:
         payloads = batch.column("payload").to_pylist()
         feats, widths, heights = [], [], []
         for p in payloads:
+            img = None
             if p and p.startswith(b"P6"):
                 img = decode_ppm(p)
+            elif p and p.startswith(b"\xff\xd8"):
+                try:
+                    img = self._decode_jpeg(p)
+                except self._jpeg_err:
+                    img = None  # progressive etc. -> fake / raise below
+                else:
+                    if img.ndim == 2:
+                        img = np.stack([img] * 3, axis=-1)
+            if img is not None:
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
                 img = resize_nearest(img, self.target_size)
@@ -230,7 +246,7 @@ class DecodeImage:
                 feats.append(_fake_feature(p, self.feature_dim))
             else:
                 raise NotImplementedError(
-                    "only PPM (P6) decodes without a codec library; "
+                    "only PPM (P6) and baseline JPEG decode natively; "
                     "construct DecodeImage(fake=True) to pseudo-decode "
                     "other mimes"
                 )

@@ -221,8 +221,8 @@ def test_annotate_decodable_routes_before_decode():
     rows = [
         {"media_id": "a", "kind": "image", "mime": None,
          "payload": b"P6\n2 2\n255\n" + bytes(12)},
-        {"media_id": "b", "kind": "image", "mime": "image/jpeg",
-         "payload": b"\xff\xd8\xff\xe0fake"},
+        {"media_id": "b", "kind": "image", "mime": "image/png",
+         "payload": b"\x89PNG\r\nfake"},
         {"media_id": "c", "kind": "audio", "mime": "audio/wav",
          "payload": b"RIFF....WAVE"},
         {"media_id": "d", "kind": "video", "mime": "video/mp4",
