@@ -181,6 +181,14 @@ def _q_lang_id(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def _q_customer_order_coalesce(sf_dir: str):
+    from ny_campaign_finance_dedupe_ray.pipelines.relational import (
+        customer_order_coalesce,
+    )
+
+    return customer_order_coalesce(sf_dir)
+
+
 def _q_tfidf_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -474,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "top_customers": _q_top_customers,
         "customer_order_stats": _q_customer_order_stats,
+        "customer_order_coalesce": _q_customer_order_coalesce,
         "event_type_counts": _q_event_type_counts,
         "pricing_summary": _q_pricing_summary,
         "gazette_top_orders": _q_gazette_top_orders,
@@ -605,6 +614,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_items "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
             "GROUP BY p.p_type ORDER BY p.p_type"
+        ),
+        "customer_order_coalesce": (
+            # the reference e_map RIGHT JOIN COALESCE shape
+            # (campaign_finance_dedupe.py:376-379) over orders/customer
+            "SELECT c.c_custkey, c.c_name, "
+            "CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders, "
+            "ROUND(COALESCE(o.total, 0), 2) AS total_spent "
+            "FROM (SELECT o_custkey, COUNT(*) AS n_orders, "
+            "SUM(o_totalprice) AS total FROM orders GROUP BY 1) o "
+            "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "ORDER BY c.c_custkey"
         ),
         "tfidf_pairs": (
             # distributed tf-idf all-pairs cosine (index_predicates.py):

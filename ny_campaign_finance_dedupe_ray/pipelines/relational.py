@@ -403,3 +403,56 @@ def part_type_revenue(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = out["revenue"].round(2)
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("p_type").reset_index(drop=True)
+
+
+def customer_order_coalesce(sf_dir: str) -> "ray.data.Dataset":
+    """Every customer with their order count/revenue, zero-coalesced — the
+    reference e_map RIGHT JOIN COALESCE shape
+    (campaign_finance_dedupe.py:376-379) as a general engine query: a
+    both-large bucketed RIGHT join (stages/joins.py) preserving the
+    customer side, then vectorized null coalesce."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import bucketed_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_custkey", "count"), ("o_totalprice", "sum")]
+        )
+        return pa.table(
+            {
+                "c_custkey": g.column("o_custkey"),
+                "pn": g.column("o_custkey_count"),
+                "pt": g.column("o_totalprice_sum"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("pn", alias_name="n_orders"), Sum("pt", alias_name="total"))
+    )
+    joined = bucketed_join(agg, customer, on="c_custkey", how="right")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_orders").fill_null(0).cast(pa.int64())
+        tot = pc.round(t.column("total").fill_null(0.0), 2)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "n_orders": n,
+                "total_spent": tot,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
