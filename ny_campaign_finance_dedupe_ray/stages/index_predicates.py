@@ -280,13 +280,15 @@ def tfidf_similarity_pairs(
     kernels (ascii \\w; the broadcast TfIdfIndex uses Python re's unicode
     \\w — identical on ascii corpora, documented divergence beyond).
 
-    Shuffle plan (6 exchanges, each keyed and bucketed):
-      tokenize -> partial-df -> groupby(term).sum          (df)
-      term rows x idf        -> bucketed_join on term      (drop stops)
-      partial-norm           -> groupby(id).sum            (norms)
-      weighted x norms       -> bucketed_join on id        (normalize)
-      term-bucket groupby    -> per-size pair kernel       (dot parts)
-      pair-bucket groupby    -> sum parts, filter          (cosine)
+    Shuffle plan (4 exchanges, each keyed and bucketed).  Bucketing by
+    term hash co-locates ALL rows of a term, so df / idf / the stop-word
+    cut are computed locally inside the first exchange (no separate df
+    groupby, no idf join); bucketing by id co-locates all of a document's
+    terms, so norms are local to the second (no norms groupby/join):
+      term-bucket groupby -> local df/idf/stop-cut -> w    (weights)
+      id-bucket groupby   -> local L2 norm -> wn           (normalize)
+      term-bucket groupby -> per-size pair kernel          (dot parts)
+      pair-bucket groupby -> sum parts, filter             (cosine)
 
     Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6
     (the oracle-compare idiom).  Weights are L2-normalized BEFORE the
@@ -344,78 +346,55 @@ def tfidf_similarity_pairs(
         tokenize, batch_format="pyarrow"
     )
 
-    # document frequency -> idf, with the stop-word cutoff applied here so
-    # stop terms never reach the pair stage (posting lists stay bounded)
-    def partial_df(t: pa.Table) -> pa.Table:
-        terms = t.column("term").to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(terms, return_counts=True)
-        return pa.table(
-            {"term": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))}
+    # Exchange 1 (by term bucket): a term's rows all land in one bucket,
+    # so df is the exact group size per term — the stop-word cutoff and
+    # idf are applied locally, and stop terms never leave this exchange
+    # (posting lists, and so every later pair-emit group, stay bounded)
+    def weigh(g: pd.DataFrame) -> pd.DataFrame:
+        df_per = g.groupby("term")["tf"].transform("size")
+        keep = df_per <= stop_cutoff
+        g = g.loc[keep, [id_column, "term", "tf"]]
+        idf = np.log1p(n_docs / df_per[keep].to_numpy())
+        g["w"] = g["tf"].to_numpy() * idf
+        return g[[id_column, "term", "w"]]
+
+    def bucket_by_term(t: pa.Table) -> pa.Table:
+        h = t.column("term").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
 
-    df_tbl = term_rows.map_batches(
-        partial_df, batch_format="pyarrow"
-    ).groupby("term").sum("c")
-
-    def mk_idf(t: pa.Table) -> pa.Table:
-        dfv = t.column("sum(c)").to_numpy(zero_copy_only=False)
-        keep = dfv <= stop_cutoff
-        idf = np.log1p(n_docs / dfv[keep])
-        terms = t.column("term").to_numpy(zero_copy_only=False)[keep]
-        return pa.table({"term": pa.array(terms), "idf": pa.array(idf)})
-
-    from .joins import bucketed_join
-
-    idf_tbl = df_tbl.map_batches(mk_idf, batch_format="pyarrow")
-    weighted = bucketed_join(
-        term_rows, idf_tbl, on="term", how="inner", n_buckets=n_buckets
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                id_column: t.column(id_column),
-                "term": t.column("term"),
-                "w": pc.multiply(t.column("tf"), t.column("idf")),
-            }
-        ),
-        batch_format="pyarrow",
+    weighted = (
+        term_rows.map_batches(bucket_by_term, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(weigh, batch_format="pandas")
     )
 
-    def partial_norm(t: pa.Table) -> pa.Table:
-        g = pd.DataFrame(
-            {
-                id_column: t.column(id_column).to_pandas(),
-                "w2": pc.multiply(t.column("w"), t.column("w")).to_pandas(),
-            }
+    # Exchange 2 (by id bucket): a document's terms all land in one
+    # bucket, so the L2 norm is local — weights leave normalized and the
+    # pair sums downstream are final cosines (no per-pair norm join)
+    def bucket_by_id(t: pa.Table) -> pa.Table:
+        key = t.column(id_column).cast(pa.string())
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        h = H.hash64_str(key)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
-        out = g.groupby(id_column, as_index=False)["w2"].sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
 
-    norm_tbl = (
-        weighted.map_batches(partial_norm, batch_format="pyarrow")
-        .groupby(id_column)
-        .sum("w2")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    id_column: t.column(id_column),
-                    "nrm": pc.sqrt(t.column("sum(w2)")),
-                }
-            ),
-            batch_format="pyarrow",
+    def normalize(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["w"].to_numpy()
+        nrm = np.sqrt(
+            g.assign(w2=w * w).groupby(id_column)["w2"].transform("sum").to_numpy()
         )
-    )
+        g = g[[id_column, "term"]].copy()
+        g["wn"] = w / nrm
+        return g
 
-    normalized = bucketed_join(
-        weighted, norm_tbl, on=id_column, how="inner", n_buckets=n_buckets
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                id_column: t.column(id_column),
-                "term": t.column("term"),
-                "wn": pc.divide(t.column("w"), t.column("nrm")),
-            }
-        ),
-        batch_format="pyarrow",
+    normalized = (
+        weighted.map_batches(bucket_by_id, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(normalize, batch_format="pandas")
     )
 
     # pair emit: bucket by term hash, one task per bucket, vectorized
