@@ -406,6 +406,20 @@ def tfidf_similarity_pairs(
             "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
 
+    # typed empty frames: an all-stopword bucket (or corpus) must still
+    # emit the (id_a, id_b, ...) schema, or the resulting Dataset is
+    # schemaless and downstream column access breaks
+    id_pd = pa.schema([pa.field("x", id_type)]).empty_table().to_pandas()["x"].dtype
+
+    def _empty_parts() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=id_pd),
+                "id_b": pd.Series(dtype=id_pd),
+                "part": pd.Series(dtype=np.float64),
+            }
+        )
+
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["term", id_column], kind="mergesort")
         terms = g["term"].to_numpy()
@@ -413,7 +427,7 @@ def tfidf_similarity_pairs(
         wn = g["wn"].to_numpy()
         new = np.empty(len(g), dtype=bool)
         if not len(g):
-            return pd.DataFrame({"id_a": [], "id_b": [], "part": []})
+            return _empty_parts()
         new[0] = True
         new[1:] = terms[1:] != terms[:-1]
         gid = np.cumsum(new) - 1
@@ -433,7 +447,7 @@ def tfidf_similarity_pairs(
             out_b.append(ids[bi])
             out_p.append(wn[ai] * wn[bi])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "part": []})
+            return _empty_parts()
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -461,13 +475,28 @@ def tfidf_similarity_pairs(
         )
 
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty_parts().rename(columns={"part": "cosine"})
         out = g.groupby(["id_a", "id_b"], as_index=False)["part"].sum()
         out = out[out["part"] >= threshold]
         out["cosine"] = out["part"].round(6)
         return out[["id_a", "id_b", "cosine"]]
 
-    return (
+    result = (
         parts.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sum_pairs, batch_format="pandas")
     )
+    # schema anchor: when the corpus is all stop words, every group is
+    # empty and Ray drops them — union a typed empty block so the result
+    # Dataset always carries the (id_a, id_b, cosine) schema
+    anchor = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    )
+    return anchor.union(result)

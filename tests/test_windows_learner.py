@@ -352,3 +352,25 @@ def test_tfidf_similarity_pairs_matches_broadcast_index():
     np.testing.assert_allclose(
         got["cosine"].to_numpy(), exp_df["cosine"].to_numpy(), atol=2e-6
     )
+
+
+def test_tfidf_similarity_pairs_all_stopwords_keeps_schema():
+    """A corpus where every term exceeds the stop cutoff yields zero
+    pairs but must still carry the (id_a, id_b, cosine) schema (the
+    typed-anchor union in tfidf_similarity_pairs)."""
+    rng = np.random.default_rng(99)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, 20).tolist()) for _ in range(3000)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3000), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(8)
+    out = IP.tfidf_similarity_pairs(docs, "text", threshold=0.5)
+    assert out.schema().names == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
