@@ -139,3 +139,55 @@ def hash64_int(s: str) -> int:
     for ch in s.encode("utf-8"):
         h = ((h ^ ch) * 1099511628211) % (1 << 64)
     return h
+
+
+def blocked_sample_pairs_link(
+    records_a: dict,
+    records_b: dict,
+    predicates: list,
+    sample_size: int,
+    seed: int = 42,
+) -> set[tuple]:
+    """Cross-set blocked pair sampling for RecordLink active learning —
+    the link variant of the round-robin sampler
+    (/root/reference/dedupe_extension/dedupe/dedupe/sampling.py:100-178):
+    per predicate, index rotating-scanned A-side keys, then pair each
+    B-side record with the first A record sharing a key.  Seeded."""
+    rng = np.random.default_rng(seed)
+    ids_a = sorted(records_a)
+    ids_b = sorted(records_b)
+    sample: set[tuple] = set()
+    live = list(predicates)
+    previous = 0
+    while len(sample) < sample_size and live and ids_a and ids_b:
+        order_a = rng.permutation(len(ids_a))
+        order_b = rng.permutation(len(ids_b))
+        per_pred = max(1, (sample_size - len(sample)) // len(live))
+        still_live = []
+        for pred in live:
+            block: dict = {}
+            start = int(rng.integers(0, len(ids_a)))
+            for k in range(len(ids_a)):
+                rid = ids_a[order_a[(start + k) % len(ids_a)]]
+                for key in pred(records_a[rid]):
+                    block.setdefault(key, rid)
+            got = 0
+            start_b = int(rng.integers(0, len(ids_b)))
+            for k in range(len(ids_b)):
+                rid = ids_b[order_b[(start_b + k) % len(ids_b)]]
+                for key in pred(records_b[rid]):
+                    a = block.get(key)
+                    if a is not None and (a, rid) not in sample:
+                        sample.add((a, rid))
+                        got += 1
+                        break
+                if got >= per_pred or len(sample) >= sample_size:
+                    break
+            if got:
+                still_live.append(pred)
+        growth = len(sample) - previous
+        if growth / max(sample_size - previous, 1) < 0.001:
+            break
+        previous = len(sample)
+        live = still_live
+    return sample

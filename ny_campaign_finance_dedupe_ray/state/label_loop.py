@@ -24,7 +24,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.sampling import blocked_sample_pairs, random_pairs
+from ..functions.sampling import (
+    blocked_sample_pairs,
+    blocked_sample_pairs_link,
+    random_pairs,
+    random_pairs_match,
+)
 from ..stages.scoring import PairScorer
 from .learn_blocking import learn_blocking_rules
 from .model import Feature, Model, fit_logistic, sigmoid
@@ -41,22 +46,42 @@ class LabelLoop:
         seed: int = 42,
         fit_iters: int = 2000,
         fit_lr: float = 1.0,
+        records_b: dict | None = None,
     ):
-        """records: {record_id: {field: value}}."""
-        self.records = records
+        """records: {record_id: {field: value}}.  Pass ``records_b`` for
+        RecordLink mode: pairs are (a_id, b_id) across the two sets (ids
+        must be distinct across sets), sampled with the cross-set blocked
+        sampler + uniform A x B pairs."""
+        self.link = records_b is not None
+        self.records = dict(records)
+        if self.link:
+            self.records.update(records_b)
         self.features = list(features)
         self.candidates = list(candidate_predicates)
         self.recall = recall
         self.fit_iters = fit_iters
         self.fit_lr = fit_lr
-        ids = sorted(records)
-        blocked = blocked_sample_pairs(
-            records, self.candidates, sample_size, seed=seed
-        )
-        rnd = random_pairs(len(ids), sample_size, seed=seed)
-        pool = set(blocked) | {
-            tuple(sorted((ids[int(i)], ids[int(j)]))) for i, j in rnd
-        }
+        if self.link:
+            ids_a = sorted(records)
+            ids_b = sorted(records_b)
+            blocked = blocked_sample_pairs_link(
+                records, records_b, self.candidates, sample_size, seed=seed
+            )
+            rnd = random_pairs_match(
+                len(ids_a), len(ids_b), sample_size, seed=seed
+            )
+            pool = set(blocked) | {
+                (ids_a[int(i)], ids_b[int(j)]) for i, j in rnd
+            }
+        else:
+            ids = sorted(records)
+            blocked = blocked_sample_pairs(
+                records, self.candidates, sample_size, seed=seed
+            )
+            rnd = random_pairs(len(ids), sample_size, seed=seed)
+            pool = set(blocked) | {
+                tuple(sorted((ids[int(i)], ids[int(j)]))) for i, j in rnd
+            }
         self.pool: list[tuple] = sorted(pool)
         self._pos = {p: i for i, p in enumerate(self.pool)}
         self.labels: dict[tuple, bool] = {}
@@ -120,7 +145,7 @@ class LabelLoop:
     def mark(self, pairs: list[tuple], labels: list[bool]) -> None:
         """Record labels, refit the logistic, re-learn blocking rules."""
         for pair, lab in zip(pairs, labels):
-            pair = tuple(sorted(pair))
+            pair = tuple(pair) if self.link else tuple(sorted(pair))
             if pair not in self._pos:
                 # out-of-pool labels (e.g. externally found dupes) extend
                 # the pool with their feature rows

@@ -147,3 +147,70 @@ def test_uncertain_pairs_prefers_disagreement():
     ]
     if rest:
         assert min(dis[picked_idx]) >= max(dis[rest]) - 1e-12
+
+
+@pytest.mark.skipif(not os.path.exists(CSV), reason="reference corpus absent")
+def test_label_loop_link_mode():
+    """RecordLink active learning: split the restaurant corpus into two
+    sets (one side of each golden dup in each); the link-mode loop must
+    sample cross pairs, learn rules covering the golden links, and fit a
+    separating model."""
+    recs, uid = _load_restaurants()
+    rec_dicts = recs.set_index("record_id").to_dict("index")
+    by: dict[int, list[str]] = {}
+    for rid, u in uid.items():
+        by.setdefault(u, []).append(rid)
+    match_pairs = [tuple(sorted(v)) for v in by.values() if len(v) == 2]
+    side_a = {p[0] for p in match_pairs}
+    singles = [v[0] for v in by.values() if len(v) == 1]
+    side_a.update(singles[::2])
+    recs_a = {k: v for k, v in rec_dicts.items() if k in side_a}
+    recs_b = {k: v for k, v in rec_dicts.items() if k not in side_a}
+    gold = {(a, b) if a in recs_a else (b, a) for a, b in match_pairs}
+
+    candidates = [
+        P.StringPredicate(P.first_token, "name"),
+        P.StringPredicate(P.same_three_char_start, "name"),
+        P.StringPredicate(P.first_integer, "address"),
+    ]
+    feats = [
+        Feature("jw_name", "name", "jaro_winkler"),
+        Feature("jw_addr", "address", "jaro_winkler"),
+        Feature("ex_cuisine", "cuisine", "exact"),
+    ]
+    loop = LabelLoop(
+        recs_a, feats, candidates, sample_size=2000, recall=0.9, seed=3,
+        records_b=recs_b,
+    )
+    # every pool pair crosses the two sets
+    assert all(a in recs_a and b in recs_b for a, b in loop.pool)
+
+    def oracle(pairs):
+        return [uid[a] == uid[b] for a, b in pairs]
+
+    seeds = sorted(gold)[:3] + [
+        (next(iter(recs_a)), next(iter(recs_b))),
+    ]
+    loop.mark(seeds, oracle(seeds))
+    for _ in range(3):
+        batch = loop.uncertain_pairs(25)
+        loop.mark(batch, oracle(batch))
+    # learned rules must cover most golden cross links
+    covered = sum(
+        1
+        for a, b in gold
+        if any(
+            set(r(rec_dicts[a])) & set(r(rec_dicts[b])) for r in loop.rules
+        )
+    )
+    assert covered / len(gold) >= 0.85, covered / len(gold)
+    # fitted model separates labeled positives from negatives
+    import numpy as np
+
+    idx = np.array([loop._pos[p] for p in loop.labels])
+    y = np.array([loop.labels[p] for p in loop.labels])
+    from ny_campaign_finance_dedupe_ray.state.model import sigmoid
+
+    p_hat = sigmoid(loop._X[idx] @ loop.weights + loop.bias)
+    if y.any() and (~y).any():
+        assert p_hat[y].mean() > p_hat[~y].mean() + 0.2
