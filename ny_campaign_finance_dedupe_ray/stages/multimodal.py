@@ -454,3 +454,96 @@ def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
     return pa.table(
         {k: pa.array(v, MEDIA_SCHEMA.field(k).type) for k, v in rows.items()}
     )
+
+
+# --------------------------------------------------------------------------
+# container metadata probing (pure struct walking, no codec)
+# --------------------------------------------------------------------------
+
+def probe_mp4(payload: bytes) -> dict | None:
+    """MP4 / ISO-BMFF (ISO 14496-12, public spec) metadata WITHOUT any
+    codec: walk the top-level box tree, read mvhd for duration and count
+    trak boxes.  Returns {'container': 'mp4', 'brand', 'duration_ms',
+    'n_tracks'} or None when the payload is not BMFF.  Frame DECODE still
+    needs a codec — this makes the video stub honest: the engine can
+    catalog and partition video corpora by real metadata even though it
+    cannot rasterize them."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    brand = payload[8:12].decode("latin-1")
+    duration_ms = None
+    n_tracks = 0
+    pos = 0
+    n = len(payload)
+
+    def walk(start: int, end: int, depth: int = 0):
+        nonlocal duration_ms, n_tracks
+        p = start
+        while p + 8 <= end:
+            size = struct.unpack_from(">I", payload, p)[0]
+            box = payload[p + 4: p + 8]
+            header = 8
+            if size == 1:
+                if p + 16 > end:
+                    break
+                size = struct.unpack_from(">Q", payload, p + 8)[0]
+                header = 16
+            elif size == 0:
+                size = end - p
+            if size < header or p + size > end:
+                break
+            if box == b"trak":
+                n_tracks += 1
+            if box == b"mvhd" and duration_ms is None:
+                ver = payload[p + header]
+                if ver == 1 and p + header + 28 + 8 <= end:
+                    scale = struct.unpack_from(">I", payload, p + header + 20)[0]
+                    dur = struct.unpack_from(">Q", payload, p + header + 24)[0]
+                elif p + header + 20 <= end:
+                    scale = struct.unpack_from(">I", payload, p + header + 12)[0]
+                    dur = struct.unpack_from(">I", payload, p + header + 16)[0]
+                else:
+                    scale, dur = 0, 0
+                if scale:
+                    duration_ms = int(dur * 1000 / scale)
+            if box in (b"moov",) and depth < 4:
+                walk(p + header, p + size, depth + 1)
+            p += size
+
+    walk(pos, n)
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+    }
+
+
+def probe_media(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Append container metadata columns (container, brand, duration_probe_ms,
+    n_tracks) parsed from payload structure alone — MP4/BMFF for video,
+    RIFF/WAVE duration for audio, PPM/JPEG dims pass through untouched."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        containers, brands, durs, tracks = [], [], [], []
+        for p in payloads:
+            meta = probe_mp4(p) if p else None
+            if meta:
+                containers.append(meta["container"])
+                brands.append(meta["brand"])
+                durs.append(meta["duration_ms"])
+                tracks.append(meta["n_tracks"])
+            else:
+                containers.append(None)
+                brands.append(None)
+                durs.append(None)
+                tracks.append(None)
+        return (
+            t.append_column("container", pa.array(containers, pa.string()))
+            .append_column("brand", pa.array(brands, pa.string()))
+            .append_column("duration_probe_ms", pa.array(durs, pa.int64()))
+            .append_column("n_tracks", pa.array(tracks, pa.int64()))
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

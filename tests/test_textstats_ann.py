@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -242,3 +243,56 @@ def test_annotate_decodable_routes_before_decode():
         expr="codec_supported == True"
     )
     assert native.count() == 2
+
+
+def _mk_mp4(duration_s=12.5, timescale=1000, n_tracks=2, version=0):
+    """Minimal ISO-BMFF fixture: ftyp + moov(mvhd + n trak stubs)."""
+    import struct as st
+
+    def box(tag, body):
+        return st.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"mp42" + st.pack(">I", 0) + b"mp42isom")
+    if version == 0:
+        mvhd_body = bytes([0, 0, 0, 0]) + st.pack(
+            ">IIII", 0, 0, timescale, int(duration_s * timescale)
+        )
+    else:
+        mvhd_body = bytes([1, 0, 0, 0]) + st.pack(
+            ">QQIQ", 0, 0, timescale, int(duration_s * timescale)
+        )
+    traks = b"".join(box(b"trak", b"\x00" * 16) for _ in range(n_tracks))
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + traks)
+    return ftyp + moov
+
+
+def test_probe_mp4_metadata():
+    meta = multimodal.probe_mp4(_mk_mp4(12.5, 1000, 2))
+    assert meta == {
+        "container": "mp4", "brand": "mp42",
+        "duration_ms": 12500, "n_tracks": 2,
+    }
+    meta64 = multimodal.probe_mp4(_mk_mp4(3.25, 90000, 1, version=1))
+    assert meta64["duration_ms"] == 3250 and meta64["n_tracks"] == 1
+    assert multimodal.probe_mp4(b"RIFF....WAVE") is None
+    assert multimodal.probe_mp4(b"") is None
+    # truncated box must not crash
+    assert multimodal.probe_mp4(_mk_mp4()[:20])["n_tracks"] == 0
+
+
+def test_probe_media_stage():
+    rows = [
+        {"media_id": "v1", "kind": "video", "mime": "video/mp4",
+         "payload": _mk_mp4(7.0, 600, 3)},
+        {"media_id": "a1", "kind": "audio", "mime": "audio/wav",
+         "payload": b"RIFF....WAVE"},
+    ]
+    out = (
+        multimodal.probe_media(rd.from_items(rows))
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out.loc["v1", "container"] == "mp4"
+    assert out.loc["v1", "duration_probe_ms"] == 7000
+    assert out.loc["v1", "n_tracks"] == 3
+    assert pd.isna(out.loc["a1", "container"])
