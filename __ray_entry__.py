@@ -181,6 +181,26 @@ def _q_lang_id(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def _q_media_probe(sf_dir: str):
+    """Codec-free container metadata over the synthesized media table:
+    MP4/ISO-BMFF box-structure probing (brand, mvhd duration, track
+    count) plus the codec capability flag. Deterministic synthetic input
+    (no media table in the testdata) -> rows-only/snapshot."""
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.multimodal import (
+        annotate_decodable,
+        probe_media,
+        synth_media,
+    )
+
+    media = rd.from_arrow(synth_media(n=120, seed=7))
+    return probe_media(annotate_decodable(media)).select_columns(
+        ["media_id", "kind", "codec_supported", "container", "brand",
+         "duration_probe_ms", "n_tracks"]
+    )
+
+
 def _q_customer_order_coalesce(sf_dir: str):
     from ny_campaign_finance_dedupe_ray.pipelines.relational import (
         customer_order_coalesce,
@@ -492,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
+        "media_probe": _q_media_probe,
     }
 
 

@@ -422,12 +422,36 @@ def make_wav(duration_s: float, freq_hz: float, sample_rate: int = 8000) -> byte
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_mp4(
+    duration_s: float = 4.0, timescale: int = 1000, n_tracks: int = 1,
+    version: int = 0,
+) -> bytes:
+    """Minimal valid ISO-BMFF stream (ftyp + moov(mvhd + trak stubs)) —
+    enough structure for probe_mp4; no media data (frame decode needs a
+    codec regardless)."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+    if version == 0:
+        mvhd = bytes([0, 0, 0, 0]) + struct.pack(
+            ">IIII", 0, 0, timescale, int(duration_s * timescale)
+        )
+    else:
+        mvhd = bytes([1, 0, 0, 0]) + struct.pack(
+            ">QQIQ", 0, 0, timescale, int(duration_s * timescale)
+        )
+    traks = b"".join(box(b"trak", b"\x00" * 16) for _ in range(n_tracks))
+    return ftyp + box(b"moov", box(b"mvhd", mvhd) + traks)
+
+
 def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
-    """Deterministic media table with REAL ppm/wav payloads (video rows keep
-    fake payloads — container parsing is the one remaining stub)."""
+    """Deterministic media table with REAL payloads for every kind:
+    PPM images, PCM16 WAV audio, and minimal ISO-BMFF video containers
+    (probe-able metadata; frame decode still needs a codec)."""
     rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
                             "width", "height", "duration_ms")}
-    rng = np.random.default_rng(seed)
     for i in range(n):
         rows["media_id"].append(f"m{i:05d}")
         if i % 3 == 0:
@@ -446,11 +470,13 @@ def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
             rows["duration_ms"].append(250)
         else:
             rows["kind"].append("video")
-            rows["mime"].append("video/fake")
-            rows["payload"].append(rng.bytes(128))
+            rows["mime"].append("video/mp4")
+            rows["payload"].append(
+                make_mp4(2.0 + (i % 7), n_tracks=1 + i % 3, version=i % 2)
+            )
             rows["width"].append(640)
             rows["height"].append(480)
-            rows["duration_ms"].append(4000)
+            rows["duration_ms"].append((2 + i % 7) * 1000)
     return pa.table(
         {k: pa.array(v, MEDIA_SCHEMA.field(k).type) for k, v in rows.items()}
     )
