@@ -223,11 +223,21 @@ def batch_affine_gap_distance(
         order = todo[np.lexsort((n1[todo], n2[todo]))]
         bounds = [0]
         rows = 0
+        cur_max_n1 = 0
         for pos, i in enumerate(order):
-            rows += 1
-            if rows >= _CHUNK_ROWS or rows * n1[i] > _CHUNK_CELLS:
-                bounds.append(pos + 1)
+            # cell bound must use the chunk's RUNNING max n1: sorted by
+            # (n2, n1), a huge-n1/small-n2 outlier lands early in the chunk
+            # and later short rows would otherwise inflate rows x outlier_n1
+            # without ever re-tripping the bound — split BEFORE adding the
+            # row that would exceed the cell budget (a lone oversize string
+            # still gets its own single-row chunk)
+            nxt_max = max(cur_max_n1, int(n1[i]))
+            if rows and (rows >= _CHUNK_ROWS or (rows + 1) * nxt_max > _CHUNK_CELLS):
+                bounds.append(pos)
                 rows = 0
+                nxt_max = int(n1[i])
+            rows += 1
+            cur_max_n1 = nxt_max
         if bounds[-1] != len(order):
             bounds.append(len(order))
         for s, e in zip(bounds[:-1], bounds[1:]):

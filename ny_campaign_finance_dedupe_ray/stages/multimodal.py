@@ -521,11 +521,16 @@ def probe_mp4(payload: bytes) -> dict | None:
             if box == b"trak":
                 n_tracks += 1
             if box == b"mvhd" and duration_ms is None:
+                # bound field reads against the mvhd box's OWN end (p+size),
+                # not the parent's end: a v1 mvhd that is the last box in
+                # moov must still take the v1 branch
+                box_end = p + size
                 ver = payload[p + header]
-                if ver == 1 and p + header + 28 + 8 <= end:
+                # v1 layout: ver/flags(4) ctime(8) mtime(8) scale(4) dur(8)
+                if ver == 1 and p + header + 24 + 8 <= box_end:
                     scale = struct.unpack_from(">I", payload, p + header + 20)[0]
                     dur = struct.unpack_from(">Q", payload, p + header + 24)[0]
-                elif p + header + 20 <= end:
+                elif ver == 0 and p + header + 20 <= box_end:
                     scale = struct.unpack_from(">I", payload, p + header + 12)[0]
                     dur = struct.unpack_from(">I", payload, p + header + 16)[0]
                 else:
@@ -545,6 +550,46 @@ def probe_mp4(payload: bytes) -> dict | None:
     }
 
 
+def probe_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE (public Microsoft/IBM spec) metadata without decoding:
+    walk the chunk list, read fmt (channels, sample rate, block align) and
+    the data chunk size, derive duration.  Returns {'container': 'wav',
+    'brand': <fmt tag name>, 'duration_ms', 'n_tracks': channels} or None
+    when the payload is not RIFF/WAVE."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    n = len(payload)
+    fmt_tag = None
+    channels = 0
+    byte_rate = 0
+    data_len = None
+    p = 12
+    while p + 8 <= n:
+        tag = payload[p: p + 4]
+        size = struct.unpack_from("<I", payload, p + 4)[0]
+        body = p + 8
+        if tag == b"fmt " and body + 16 <= n:
+            fmt_code, channels, _rate, byte_rate, _align, _bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            fmt_tag = {1: "pcm", 3: "ieee_float", 6: "alaw", 7: "mulaw"}.get(
+                fmt_code, f"fmt{fmt_code}"
+            )
+        elif tag == b"data":
+            data_len = min(size, n - body)
+        # chunks are word-aligned
+        p = body + size + (size & 1)
+    duration_ms = None
+    if data_len is not None and byte_rate:
+        duration_ms = int(data_len * 1000 / byte_rate)
+    return {
+        "container": "wav",
+        "brand": fmt_tag,
+        "duration_ms": duration_ms,
+        "n_tracks": channels,
+    }
+
+
 def probe_media(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Append container metadata columns (container, brand, duration_probe_ms,
     n_tracks) parsed from payload structure alone — MP4/BMFF for video,
@@ -554,7 +599,7 @@ def probe_media(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         payloads = t.column("payload").to_pylist()
         containers, brands, durs, tracks = [], [], [], []
         for p in payloads:
-            meta = probe_mp4(p) if p else None
+            meta = (probe_mp4(p) or probe_wav(p)) if p else None
             if meta:
                 containers.append(meta["container"])
                 brands.append(meta["brand"])

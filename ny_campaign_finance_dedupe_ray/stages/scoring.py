@@ -106,6 +106,31 @@ def _categorical_combos(categories: list) -> list[tuple[int, int]]:
     )[1:]
 
 
+def _truthy_mask(arr) -> np.ndarray:
+    """Python-truthiness of an Arrow column as a bool mask, vectorized —
+    matches ``bool(x)`` per value (null/''/0/[]/b'' are falsy), which is the
+    contract the scalar exists_both/exists_one loops established."""
+    t = arr.type
+    valid = pc.is_valid(arr)
+    try:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            nz = pc.not_equal(pc.utf8_length(arr), 0)
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            nz = pc.not_equal(pc.binary_length(arr), 0)
+        elif pa.types.is_boolean(t):
+            nz = arr
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            nz = pc.not_equal(pc.list_value_length(arr), 0)
+        elif pa.types.is_null(t):
+            return np.zeros(len(arr), dtype=bool)
+        else:
+            nz = pc.not_equal(arr, pa.scalar(0).cast(t))
+        mask = pc.fill_null(pc.and_kleene(valid, nz), False)
+        return mask.to_numpy(zero_copy_only=False).astype(bool)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        return np.array([bool(x) for x in arr.to_pylist()], dtype=bool)
+
+
 def py_feature_values(f, batch: pa.Table) -> np.ndarray:
     """Numpy-path feature column for one python-kind feature over a pair
     batch (columns ``{field}_a`` / ``{field}_b``).  NaN marks missing,
@@ -130,9 +155,33 @@ def py_feature_values(f, batch: pa.Table) -> np.ndarray:
         return C.batch_cosine_text(a, b)
     if f.kind == "cosine_set":
         return C.batch_cosine_set(a, b)
+    if f.kind == "exists_both":
+        return (_truthy_mask(a) & _truthy_mask(b)).astype(np.float64)
+    if f.kind == "exists_one":
+        return (_truthy_mask(a) != _truthy_mask(b)).astype(np.float64)
+    if f.kind == "categorical_dummy":
+        cats = list(f.params["categories"])
+        target = _categorical_combos(cats)[int(f.params["pair_index"])]
+        # compare in the column's native type: a float 1.0 category rendered
+        # '1' by an Arrow string cast but '1.0' by Python str() must still
+        # match — fall back to the string path only when the cast fails
+        try:
+            cats_arr = pa.array(cats).cast(a.type)
+            aa, bb = a, b
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            cats_arr = pa.array([str(c) for c in cats], pa.string())
+            aa, bb = a.cast(pa.string()), b.cast(pa.string())
+        ia = pc.index_in(aa, value_set=cats_arr)
+        ib = pc.index_in(bb, value_set=cats_arr)
+        van = ia.to_numpy(zero_copy_only=False).astype(np.float64)
+        vbn = ib.to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.minimum(van, vbn)
+        hi = np.maximum(van, vbn)
+        out = ((lo == target[0]) & (hi == target[1])).astype(np.float64)
+        out[np.isnan(van) | np.isnan(vbn)] = np.nan
+        return out
 
     va, vb = a.to_pylist(), b.to_pylist()
-    n = len(va)
 
     if f.kind == "latlong":
         return C.batch_haversine_sqrt(va, vb)
@@ -146,29 +195,6 @@ def py_feature_values(f, batch: pa.Table) -> np.ndarray:
         return crf_edit_scores(
             va, vb, tuple((f.params or {}).get("params", DEFAULT_PARAMS))
         )
-    if f.kind == "exists_both":
-        return np.array(
-            [1.0 if (x and y) else 0.0 for x, y in zip(va, vb)],
-            dtype=np.float64,
-        )
-    if f.kind == "exists_one":
-        return np.array(
-            [1.0 if bool(x) != bool(y) else 0.0 for x, y in zip(va, vb)],
-            dtype=np.float64,
-        )
-    if f.kind == "categorical_dummy":
-        cats = list(f.params["categories"])
-        target = _categorical_combos(cats)[int(f.params["pair_index"])]
-        cats_arr = pa.array([str(c) for c in cats], pa.string())
-        ia = pc.index_in(a.cast(pa.string()), value_set=cats_arr)
-        ib = pc.index_in(b.cast(pa.string()), value_set=cats_arr)
-        van = ia.to_numpy(zero_copy_only=False).astype(np.float64)
-        vbn = ib.to_numpy(zero_copy_only=False).astype(np.float64)
-        lo = np.minimum(van, vbn)
-        hi = np.maximum(van, vbn)
-        out = ((lo == target[0]) & (hi == target[1])).astype(np.float64)
-        out[np.isnan(van) | np.isnan(vbn)] = np.nan
-        return out
     raise ValueError(f"not a python-path feature kind: {f.kind!r}")
 
 

@@ -46,7 +46,7 @@ EXPECTED = {
     "embedding_neardup": "946c797c8cc62b9f9977f5f7e71642af9b0ea622682e247e8996db6f3a1d80c4",
     "media_features": "4602b6a36b93060f8aea6138ca266e0bca208121ff8f189ef5320e15d20dcbbb",
     "ann_ivf_topk": "700cde34cc90b3a56c86eb8671d2bd42639f0fd2c4adb8a537123f047a4ec0b0",
-    "media_probe": "41dd42623da8ca88904788e9543c123afb7eb41bd35205dac5e71c14b3c134e2",
+    "media_probe": "307e7c50065e22c2eb4e367a5298efe18ac48660157f77334c7cfe1945ea630c",
 }
 
 

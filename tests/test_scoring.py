@@ -261,3 +261,85 @@ def test_batch_cosine_set_matches_scalar_fuzz():
         np.testing.assert_allclose(got, exp, atol=1e-12, equal_nan=True)
 
     check()
+
+def test_exists_kinds_match_scalar_truthiness():
+    from ny_campaign_finance_dedupe_ray.stages.scoring import py_feature_values
+
+    class F:
+        def __init__(self, name, field, kind, params=None):
+            self.name, self.field, self.kind, self.params = name, field, kind, params
+
+    cases = [
+        (pa.string(), ["v", "", None, "x", "", None]),
+        (pa.int64(), [1, 0, None, 7, 0, None]),
+        (pa.float64(), [1.5, 0.0, None, float("nan"), 0.0, None]),
+        (pa.bool_(), [True, False, None, True, False, None]),
+        (pa.binary(), [b"z", b"", None, b"q", b"", None]),
+        (pa.list_(pa.int64()), [[1], [], None, [2, 3], [], None]),
+    ]
+    for typ, vals in cases:
+        a = vals
+        b = list(reversed(vals))
+        batch = pa.table({"x_a": pa.array(a, typ), "x_b": pa.array(b, typ)})
+        # scalar reference semantics: plain Python truthiness
+        want_both = [1.0 if (x and y) else 0.0 for x, y in zip(a, b)]
+        want_one = [1.0 if bool(x) != bool(y) else 0.0 for x, y in zip(a, b)]
+        got_both = py_feature_values(F("eb", "x", "exists_both"), batch).tolist()
+        got_one = py_feature_values(F("eo", "x", "exists_one"), batch).tolist()
+        assert got_both == want_both, (typ, got_both, want_both)
+        assert got_one == want_one, (typ, got_one, want_one)
+
+
+def test_categorical_dummy_nonstring_categories():
+    from ny_campaign_finance_dedupe_ray.stages.scoring import py_feature_values
+
+    class F:
+        def __init__(self, name, field, kind, params=None):
+            self.name, self.field, self.kind, self.params = name, field, kind, params
+
+    # float categories: str(1.0)='1.0' but Arrow cast renders '1' — the
+    # native-type compare must still match (ADVICE r3)
+    batch = pa.table({
+        "c_a": pa.array([1.0, 2.0, 2.0, None], pa.float64()),
+        "c_b": pa.array([2.0, 1.0, 2.0, 1.0], pa.float64()),
+    })
+    p = {"categories": [1.0, 2.0]}
+    d0 = py_feature_values(F("c0", "c", "categorical_dummy", {**p, "pair_index": 0}), batch)
+    d1 = py_feature_values(F("c1", "c", "categorical_dummy", {**p, "pair_index": 1}), batch)
+    assert d0[:3].tolist() == [1.0, 1.0, 0.0]
+    assert d1[:3].tolist() == [0.0, 0.0, 1.0]
+    assert np.isnan(d0[3])
+
+    # bool categories
+    batch = pa.table({
+        "c_a": pa.array([False, True, True], pa.bool_()),
+        "c_b": pa.array([True, False, True], pa.bool_()),
+    })
+    p = {"categories": [False, True]}
+    d0 = py_feature_values(F("c0", "c", "categorical_dummy", {**p, "pair_index": 0}), batch)
+    d1 = py_feature_values(F("c1", "c", "categorical_dummy", {**p, "pair_index": 1}), batch)
+    assert d0.tolist() == [1.0, 1.0, 0.0]
+    assert d1.tolist() == [0.0, 0.0, 1.0]
+
+
+def test_affine_gap_chunk_bound_tracks_running_max(monkeypatch):
+    from ny_campaign_finance_dedupe_ray.functions import affinegap as AG
+
+    seen = []
+    real = AG._batch_affine_gap_chunk
+
+    def spy(longs, shorts, *a, **k):
+        seen.append((len(longs), max(len(s) for s in longs)))
+        return real(longs, shorts, *a, **k)
+
+    monkeypatch.setattr(AG, "_batch_affine_gap_chunk", spy)
+    monkeypatch.setattr(AG, "_CHUNK_CELLS", 50_000)
+    # one long string with a SMALL short side (lands early in (n2, n1)
+    # order) followed by many short pairs: without the running-max bound the
+    # long row's n1 inflates every later row's allocation in the same chunk
+    a = ["x" * 20_000] + ["alpha beta"] * 400
+    b = ["a"] + ["alpha betta"] * 400
+    out = AG.batch_affine_gap_distance(a, b)
+    assert len(out) == 401 and np.isfinite(out).all()
+    for rows, max_n1 in seen:
+        assert rows * max_n1 <= 50_000 or rows == 1, (rows, max_n1)

@@ -295,4 +295,37 @@ def test_probe_media_stage():
     assert out.loc["v1", "container"] == "mp4"
     assert out.loc["v1", "duration_probe_ms"] == 7000
     assert out.loc["v1", "n_tracks"] == 3
-    assert pd.isna(out.loc["a1", "container"])
+    # headers-only RIFF/WAVE probes as wav but yields no duration
+    assert out.loc["a1", "container"] == "wav"
+    assert pd.isna(out.loc["a1", "duration_probe_ms"])
+
+def test_probe_mp4_v1_mvhd_last_box():
+    # v1 mvhd as the LAST box in moov (no trak after it) must still take
+    # the version-1 branch (ADVICE r3: guard was 4 bytes too strict)
+    meta = multimodal.probe_mp4(multimodal.make_mp4(3.0, n_tracks=0, version=1))
+    assert meta["duration_ms"] == 3000
+    assert meta["n_tracks"] == 0
+
+
+def test_probe_wav():
+    meta = multimodal.probe_wav(multimodal.make_wav(0.25, 440.0))
+    assert meta == {
+        "container": "wav", "brand": "pcm", "duration_ms": 250, "n_tracks": 1,
+    }
+    assert multimodal.probe_wav(b"") is None
+    assert multimodal.probe_wav(multimodal.make_mp4()) is None
+    assert multimodal.probe_mp4(multimodal.make_wav(0.1, 100.0)) is None
+
+
+def test_probe_media_covers_audio_rows(ray_session):
+    import ray.data as rd
+
+    t = multimodal.synth_media(n=12)
+    out = multimodal.probe_media(rd.from_arrow(t)).to_pandas()
+    audio = out[out["kind"] == "audio"]
+    assert len(audio) > 0
+    assert (audio["container"] == "wav").all()
+    assert (audio["duration_probe_ms"] == 250).all()
+    video = out[out["kind"] == "video"]
+    assert (video["container"] == "mp4").all()
+    assert video["duration_probe_ms"].notna().all()
