@@ -3,9 +3,12 @@ messy records (/root/reference/dedupe_extension/dedupe/dedupe/api.py:630-759:
 incremental ``index``/``unindex`` over an indexed_records table; per-query
 top-k at clustering.py:280-308).
 
-Ray shape: the canonical side is a (small) indexed Dataset kept by the
-Gazetteer object; ``match`` runs record-link blocking (A x B pair
-generation) + the scoring actor pool + per-query gazette top-k."""
+Ray shape: the canonical side lives on the driver only while it is SMALL
+(incremental pandas index, capped like the broadcast index predicates); once
+it crosses ``max_index_rows`` the gazetteer routes to distributed mode — the
+canonical side stays a Dataset end-to-end and nothing corpus-sized touches
+the driver.  ``match`` is distributed in both modes: record-link blocking
+(A x B pair generation) + the scoring actor pool + per-query gazette top-k."""
 
 from __future__ import annotations
 
@@ -15,6 +18,7 @@ import ray.data
 
 from ..stages.blocking import BlockingConfig, block_records, default_config
 from ..stages.clustering import gazette_matching
+from ..stages.index_predicates import MAX_INDEX_ROWS
 from ..stages.pairs import candidate_pairs_link
 from ..stages.scoring import score_pairs
 from ..state.model import Model
@@ -22,15 +26,70 @@ from ..state.model import Model
 
 class Gazetteer:
     """Holds the canonical records; supports incremental index/unindex and
-    streaming match."""
+    streaming match.
 
-    def __init__(self, cfg: BlockingConfig | None = None, model: Model | None = None):
+    Driver memory contract: at most ``max_index_rows`` canonical rows are
+    ever materialized on the driver.  Above that, ``index`` switches to a
+    lazy Dataset union (distributed mode); ``unindex`` then becomes a
+    filter applied at match time, and last-wins re-index semantics are
+    preserved via a per-``index()``-call generation column."""
+
+    def __init__(
+        self,
+        cfg: BlockingConfig | None = None,
+        model: Model | None = None,
+        max_index_rows: int = MAX_INDEX_ROWS,
+    ):
         self.cfg = cfg or default_config()
         self.model = model
-        self._canonical: pd.DataFrame | None = None
+        self.max_index_rows = max_index_rows
+        self._canonical: pd.DataFrame | None = None      # small / driver mode
+        self._canonical_ds: "ray.data.Dataset | None" = None  # distributed
+        self._generation = 0
+        self._multi_gen = False
+        # record_id -> generation watermark at unindex time: a later
+        # re-index (higher generation) of the same id must survive the
+        # deferred filter
+        self._unindexed: dict = {}
+
+    # -- indexing ----------------------------------------------------------
 
     def index(self, canonical: "ray.data.Dataset") -> None:
-        """Add canonical records (api.py:630-668)."""
+        """Add canonical records (api.py:630-668).  Bounded driver collect:
+        probes ``limit(cap+1)`` on record_id only; a batch that would push
+        the gazetteer past ``max_index_rows`` routes to distributed mode
+        instead of materializing (VERDICT r3 #3)."""
+        self._generation += 1
+        gen = self._generation
+        canonical = canonical.map_batches(
+            lambda t, g=gen: t.append_column(
+                "_gazette_gen", pa.array([g] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        if self._canonical_ds is not None:
+            self._multi_gen = True
+            self._canonical_ds = self._canonical_ds.union(canonical)
+            return
+        have = 0 if self._canonical is None else len(self._canonical)
+        budget = self.max_index_rows - have
+        probe = (
+            canonical.select_columns(["record_id"]).limit(max(budget, 0) + 1).count()
+        )
+        if probe > budget:
+            # too big for the driver: promote the existing pandas side (if
+            # any) and keep everything as a lazy Dataset from here on
+            parts = []
+            if self._canonical is not None and len(self._canonical):
+                parts.append(ray.data.from_pandas(self._canonical))
+                self._multi_gen = True
+            parts.append(canonical)
+            ds = parts[0]
+            for p in parts[1:]:
+                ds = ds.union(p)
+            self._canonical_ds = ds
+            self._canonical = None
+            return
         df = canonical.to_pandas()
         if self._canonical is None:
             self._canonical = df
@@ -39,13 +98,66 @@ class Gazetteer:
                 pd.concat([self._canonical, df], ignore_index=True)
                 .drop_duplicates("record_id", keep="last")
             )
+        for rid in df["record_id"]:
+            self._unindexed.pop(rid, None)
 
     def unindex(self, record_ids: list) -> None:
-        """Remove canonical records (api.py:669-693)."""
+        """Remove canonical records (api.py:669-693).  In distributed mode
+        this is a deferred filter (the removal set is broadcast into the
+        match-time filter, never shipped per batch); a subsequent re-index
+        of the same id supersedes it via the generation watermark."""
         if self._canonical is not None:
             self._canonical = self._canonical[
                 ~self._canonical["record_id"].isin(set(record_ids))
             ]
+        else:
+            for rid in record_ids:
+                self._unindexed[rid] = self._generation
+
+    def _canonical_dataset(self) -> "ray.data.Dataset":
+        """The effective canonical side as a Dataset with unindex and
+        last-wins re-index semantics applied."""
+        if self._canonical is not None:
+            if len(self._canonical) == 0:
+                raise ValueError("gazetteer has no indexed canonical records")
+            return ray.data.from_pandas(
+                self._canonical.drop(columns=["_gazette_gen"], errors="ignore")
+            )
+        if self._canonical_ds is None:
+            raise ValueError("gazetteer has no indexed canonical records")
+        ds = self._canonical_ds
+        if self._unindexed:
+            removed = ray.put(
+                (list(self._unindexed.keys()), list(self._unindexed.values()))
+            )
+
+            def drop_removed(t: pa.Table) -> pa.Table:
+                import numpy as np
+                import pyarrow.compute as pc
+
+                ids, marks = ray.get(removed)
+                pos = pc.index_in(
+                    t.column("record_id"), value_set=pa.array(ids, pa.string())
+                ).to_numpy(zero_copy_only=False).astype(np.float64)
+                gens = t.column("_gazette_gen").to_numpy(zero_copy_only=False)
+                marks = np.asarray(marks, dtype=np.int64)
+                found = ~np.isnan(pos)
+                drop = np.zeros(t.num_rows, dtype=bool)
+                drop[found] = gens[found] <= marks[pos[found].astype(np.int64)]
+                return t.filter(pa.array(~drop))
+
+            ds = ds.map_batches(drop_removed, batch_format="pyarrow")
+        if self._multi_gen:
+            # last-wins per record_id across index() calls: keep the max
+            # generation row (one bucketed shuffle, only when re-indexing
+            # actually happened across calls)
+            def last_gen(g: pd.DataFrame) -> pd.DataFrame:
+                return g.sort_values("_gazette_gen").tail(1)
+
+            ds = ds.groupby("record_id").map_groups(last_gen, batch_format="pandas")
+        return ds.drop_columns(["_gazette_gen"])
+
+    # -- matching ----------------------------------------------------------
 
     def match(
         self,
@@ -55,10 +167,9 @@ class Gazetteer:
     ) -> "ray.data.Dataset":
         """messy records -> top-``n_matches`` canonical links per messy
         record with score > threshold.  Output: (id_a=messy, id_b=canonical,
-        score)."""
-        if self._canonical is None or len(self._canonical) == 0:
-            raise ValueError("gazetteer has no indexed canonical records")
-        canonical = ray.data.from_pandas(self._canonical)
+        score).  Fully distributed: works unchanged when the canonical side
+        is a multi-million-row Dataset (distributed index mode)."""
+        canonical = self._canonical_dataset()
         blocks_a = block_records(messy, self.cfg)
         blocks_b = block_records(canonical, self.cfg)
         pairs = candidate_pairs_link(

@@ -374,3 +374,56 @@ def test_tfidf_similarity_pairs_all_stopwords_keeps_schema():
     out = IP.tfidf_similarity_pairs(docs, "text", threshold=0.5)
     assert out.schema().names == ["id_a", "id_b", "cosine"]
     assert out.count() == 0
+
+def test_gazetteer_large_index_routes_distributed():
+    """A canonical side past max_index_rows must NOT materialize on the
+    driver (VERDICT r3 #3): it routes to distributed mode and match still
+    produces the same links as driver mode."""
+    from ny_campaign_finance_dedupe_ray.pipelines.gazetteer import Gazetteer
+    from ny_campaign_finance_dedupe_ray.stages.blocking import BlockingConfig
+
+    def recs(prefix, names):
+        n = len(names)
+        return rd.from_arrow(
+            pa.table({
+                "record_id": pa.array([f"{prefix}{i}" for i in range(n)], pa.string()),
+                "name": pa.array(names, pa.string()),
+                "street": pa.array(["1 main street"] * n, pa.string()),
+                "city": pa.array(["albany"] * n, pa.string()),
+                "state": pa.array(["ny"] * n, pa.string()),
+                "zip": pa.array(["10001"] * n, pa.string()),
+                "text_norm": pa.array(names, pa.string()),
+            })
+        )
+
+    cfg = BlockingConfig(
+        predicates=[P.StringPredicate(P.first_token, "name")], minhash_column=None
+    )
+    canon_names = ["mary smith", "robert jones", "alice wu"] + [
+        f"filler person{i}" for i in range(20)
+    ]
+
+    # driver-mode reference output
+    g_small = Gazetteer(cfg=cfg)
+    g_small.index(recs("c", canon_names))
+    assert g_small._canonical is not None
+    ref = g_small.match(recs("m", ["mary smyth", "robert jones"]), threshold=0.5)
+    ref = ref.to_pandas().sort_values("id_a").reset_index(drop=True)
+
+    # tiny cap -> distributed mode, same result
+    g = Gazetteer(cfg=cfg, max_index_rows=5)
+    g.index(recs("c", canon_names))
+    assert g._canonical is None and g._canonical_ds is not None
+    out = g.match(recs("m", ["mary smyth", "robert jones"]), threshold=0.5)
+    out = out.to_pandas().sort_values("id_a").reset_index(drop=True)
+    assert out[["id_a", "id_b"]].values.tolist() == ref[["id_a", "id_b"]].values.tolist()
+
+    # distributed unindex is a deferred match-time filter
+    g.unindex(["c0"])
+    out2 = g.match(recs("m", ["mary smyth"]), threshold=0.5).to_pandas()
+    assert len(out2) == 0
+
+    # incremental index past the cap: last-wins re-index via generations
+    g.index(recs("c", ["zed zeta"]))  # re-index c0 with a new name
+    out3 = g.match(recs("m", ["zed zeta"]), threshold=0.5).to_pandas()
+    assert list(out3["id_b"]) == ["c0"]
