@@ -246,27 +246,46 @@ def _link_pairs_in_bucket(
     ]
     cols = ["id_a", "id_b"] + [c + s for c in payload for s in ("_a", "_b")]
     g = g.drop_duplicates(["block_key", "record_id", "side"])
-    outs = []
-    for _, sub in g.groupby("block_key", sort=False):
-        a = sub[sub["side"] == "a"]
-        b = sub[sub["side"] == "b"]
-        if len(a) == 0 or len(b) == 0:
-            continue
-        if max_block_size is not None and len(a) * len(b) > max_block_size ** 2:
-            continue
-        ia = np.repeat(np.arange(len(a)), len(b))
-        ib = np.tile(np.arange(len(b)), len(a))
-        rec = {
-            "id_a": a["record_id"].to_numpy()[ia],
-            "id_b": b["record_id"].to_numpy()[ib],
-        }
-        for c in payload:
-            rec[c + "_a"] = a[c].to_numpy()[ia]
-            rec[c + "_b"] = b[c].to_numpy()[ib]
-        outs.append(pd.DataFrame(rec))
-    if not outs:
+    # side 'a' sorts before 'b': within each key the a-rows are a contiguous
+    # prefix, so a key is (start, n_a, n_b) and the A x B cross product is an
+    # index-grid gather per distinct (n_a, n_b) SIZE CLASS — one numpy pass
+    # per class, no per-key Python dispatch (a bucket holds ~10^5 tiny keys
+    # at scale; mirrors the Dedupe kernel _pairs_in_bucket above).
+    g = g.sort_values(["block_key", "side", "record_id"], kind="mergesort")
+    keys = g["block_key"].to_numpy()
+    if len(keys) == 0:
         return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
-    return pd.concat(outs, ignore_index=True)
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    is_a = g["side"].to_numpy() == "a"
+    csum = np.concatenate([[0], np.cumsum(is_a)])
+    na = csum[starts + counts] - csum[starts]
+    nb = counts - na
+    valid = (na > 0) & (nb > 0)
+    if max_block_size is not None:
+        valid &= na * nb <= max_block_size ** 2
+    st = starts[valid]
+    ia_parts: list[np.ndarray] = []
+    ib_parts: list[np.ndarray] = []
+    if len(st):
+        sizes = np.stack([na[valid], nb[valid]], axis=1)
+        classes, inv = np.unique(sizes, axis=0, return_inverse=True)
+        for ci, (ca, cb) in enumerate(classes):
+            s = st[inv == ci]
+            la = np.repeat(np.arange(ca), cb)
+            lb = np.tile(np.arange(cb), ca) + ca  # b-rows start after the a-prefix
+            ia_parts.append((s[:, None] + la[None, :]).ravel())
+            ib_parts.append((s[:, None] + lb[None, :]).ravel())
+    if not ia_parts:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    rid = g["record_id"].to_numpy()
+    out = {"id_a": rid[ia], "id_b": rid[ib]}
+    for c in payload:
+        v = g[c].to_numpy()
+        out[c + "_a"] = v[ia]
+        out[c + "_b"] = v[ib]
+    return pd.DataFrame(out)
 
 
 def candidate_pairs_link(
