@@ -250,6 +250,10 @@ def hot_keys(
     df = over.to_pandas()
     if "block_key" not in df.columns:  # empty result loses schema
         return set()
+    from ..state.counters import add_dropped
+
+    add_dropped("hot_keys_filtered", len(df))
+    add_dropped("hot_keys_filtered_rows", int(df["n"].sum()))
     return set(df["block_key"].tolist())
 
 

