@@ -14,6 +14,15 @@ from typing import Any
 
 import numpy as np
 
+# the stopword list of stages/textstats.quality_score, as a SQL IN-list
+_STOPWORD_SQL = ", ".join(
+    f"'{w}'"
+    for w in (
+        "the a an and or of to in is are was were be been with for on at by "
+        "from as it this that these those"
+    ).split()
+)
+
 
 def entry() -> Any:
     """Flagship record-linkage pipeline on sf0.001: wrap the documents table
@@ -679,8 +688,27 @@ def oracle_sql() -> dict[str, str]:
             ") AS rn FROM embeddings e CROSS JOIN q) "
             "WHERE rn <= 10 ORDER BY query_id, vec_id"
         ),
+        # quality_score IS SQL-expressible: both sides are RE2 regex engines
+        # (pyarrow and DuckDB), so [\w\s] and \s+ agree; clip == least/
+        # greatest; validated bit-exact on sf0.001/sf0.01
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents), "
+            "s AS (SELECT doc_id, length(txt) AS n_chars, "
+            "length(regexp_replace(txt, '[\\w\\s]', '', 'g')) AS n_punct, "
+            "regexp_split_to_array(lower(txt), '\\s+') AS toks FROM t), "
+            "r AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "n_punct * 1.0 / greatest(n_chars, 1) AS punct_ratio, "
+            "len(list_filter(toks, x -> x IN (" + _STOPWORD_SQL + "))) * 1.0 "
+            "/ greatest(len(toks), 1) AS stop_ratio, "
+            "greatest(n_chars, 1) AS nc, greatest(len(toks), 1) AS nt FROM s) "
+            "SELECT doc_id, n_tokens, punct_ratio, stop_ratio, "
+            "least(nc / 200.0, 1.0) * 0.4 "
+            "+ least(stop_ratio * 5, 1.0) * 0.3 "
+            "+ (1 - least(punct_ratio * 5, 1.0)) * 0.2 "
+            "+ least(greatest((nc * 1.0 / nt - 2) / 6, 0.0), 1.0) * 0.1 "
+            "AS quality FROM r"
+        ),
         # dedupe_pages / minhash_clusters / simhash_signatures / lang_id /
-        # quality_score / fingerprints / embedding_neardup are not
-        # SQL-expressible (stateful hashing / model scoring / iterative
-        # clustering) -> rows-only checks.
+        # fingerprints / embedding_neardup are not SQL-expressible (stateful
+        # hashing / model scoring / iterative clustering) -> rows-only checks.
     }
