@@ -3,10 +3,21 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "pages": n, "pairs_scored": n,
-   "pairs_per_sec": x}
+   "pairs_per_sec": x, "runs": [...], "spread_pct": x, "r1_control": {...}}
 
-``--scaling`` runs the headline pipeline twice in fresh processes
-(num_cpus=8 then 32) on the same input and reports throughputs + scaling
+Measurement protocol (VERDICT r3 #1/#2 — the recorded artifact captured
+host contention two rounds running):
+- the headline flagship runs BEST-OF-2 in FRESH subprocesses (exactly like
+  ``--scaling`` already does per level); both runs and their spread are
+  emitted so a contended run is visible in the artifact instead of
+  silently becoming the official number;
+- a same-day r1-code control (git worktree at the round-1 commit, same
+  host, same inputs, also best-of-2) is embedded as ``r1_control`` so the
+  cross-round comparison is same-day A/B, not cross-host-day.  Disable
+  with GRAFT_SKIP_R1_CONTROL=1 (e.g. when git history is unavailable).
+
+``--scaling`` runs the scoring engine at two parallelism levels in fresh
+processes on the same persisted input and reports throughputs + scaling
 efficiency (the two-cluster-size criterion evidenced at two parallelism
 levels, per BASELINE.md).
 """
@@ -22,6 +33,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 COPIES = int(os.environ.get("GRAFT_PAGE_COPIES", "3"))
+
+# round-1 driver commit: the code BENCH_r01.json was recorded against
+R1_COMMIT = "7b71414"
 
 
 def _init_ray():
@@ -170,9 +184,79 @@ def run_queries() -> dict:
     return out
 
 
-def main() -> None:
+def headline_once() -> None:
+    """One fresh-process flagship run; prints its timing dict as JSON."""
     _init_ray()
-    h = headline()
+    print(json.dumps(headline()))
+    import ray
+
+    ray.shutdown()
+
+
+def _run_json(cmd: list[str], env: dict, cwd: str | None = None) -> dict:
+    out = subprocess.run(
+        cmd, env=env, cwd=cwd, check=True, capture_output=True, text=True
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def _r1_control() -> dict | None:
+    """Same-day, same-host flagship control at the round-1 commit: a
+    detached git worktree runs ITS OWN bench headline (fresh process,
+    best-of-2) on the same inputs.  The cross-round perf comparison is then
+    an A/B, immune to host-day drift (BASELINE.md §Round-3 flagship
+    control protocol)."""
+    if os.environ.get("GRAFT_SKIP_R1_CONTROL"):
+        return None
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="graft_r1_wt_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", wt, R1_COMMIT],
+            cwd=repo, check=True, capture_output=True,
+        )
+        env = dict(os.environ, GRAFT_SKIP_QUERIES="1")
+        runs = [
+            _run_json([sys.executable, "bench.py"], env, cwd=wt)
+            for _ in range(2)
+        ]
+        best = min(runs, key=lambda r: r["sec"])
+        return {
+            "commit": R1_COMMIT,
+            "sec": best["sec"],
+            "extract_sec": best.get("extract_sec"),
+            "block_score_sec": best.get("block_score_sec"),
+            "cluster_sec": best.get("cluster_sec"),
+            "runs_sec": [r["sec"] for r in runs],
+        }
+    except Exception as e:  # git history unavailable, old code crashed...
+        return {"commit": R1_COMMIT, "error": str(e)[:300]}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
+def main() -> None:
+    # headline best-of-2 in fresh processes (the recorded artifact was
+    # single-shot contention noise in r2 and r3; fresh processes also avoid
+    # the in-session Ray Data slowdown documented in BASELINE.md)
+    me = os.path.abspath(__file__)
+    runs = [
+        _run_json([sys.executable, me, "--headline-once"], dict(os.environ))
+        for _ in range(2)
+    ]
+    h = min(runs, key=lambda r: r["sec"])
+    spread = (
+        (max(r["sec"] for r in runs) - h["sec"]) / h["sec"] if h["sec"] else 0.0
+    )
+    r1 = _r1_control()
+    _init_ray()
     q = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
     print(
         json.dumps(
@@ -184,6 +268,10 @@ def main() -> None:
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 **h,
+                "runs_sec": [r["sec"] for r in runs],
+                "runs_block_score_sec": [r["block_score_sec"] for r in runs],
+                "spread_pct": round(100 * spread, 1),
+                "r1_control": r1,
             }
         )
     )
@@ -338,5 +426,7 @@ if __name__ == "__main__":
         _scaling_score(sys.argv[i + 1])
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--headline-once" in sys.argv:
+        headline_once()
     else:
         main()

@@ -31,7 +31,12 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).to_pandas()
-    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    name_ref = ray.put(
+        (
+            pa.array(cust["c_custkey"].to_numpy()),
+            pa.array(cust["c_name"], pa.string()),
+        )
+    )
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -50,11 +55,15 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
     def attach_name(t: pa.Table) -> pa.Table:
-        names = ray.get(name_ref)
-        keys = t.column("o_custkey").to_pylist()
+        import pyarrow.compute as pc
+
+        keys_arr, names_arr = ray.get(name_ref)
+        # index_in + take: one vectorized dictionary lookup, no per-row dict
+        # .get (same idiom as the part-type join below)
+        pos = pc.index_in(t.column("o_custkey"), value_set=keys_arr)
         return pa.table(
             {
-                "c_name": pa.array([names.get(kk) for kk in keys], pa.string()),
+                "c_name": names_arr.take(pos),
                 "total_amount": t.column("total_amount"),
             }
         )
