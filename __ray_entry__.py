@@ -353,8 +353,10 @@ def _q_media_features(sf_dir: str):
     import ray.data as rd
 
     from ny_campaign_finance_dedupe_ray.stages.multimodal import (
+        annotate_decodable,
         decode_audio,
         decode_images,
+        sample_frames,
         synth_media,
     )
 
@@ -379,8 +381,39 @@ def _q_media_features(sf_dir: str):
 
     imgs = decode_images(media.filter(expr="kind == 'image'"))
     auds = decode_audio(media.filter(expr="kind == 'audio'"))
-    return imgs.map_batches(summarize("image"), batch_format="pyarrow").union(
-        auds.map_batches(summarize("audio"), batch_format="pyarrow")
+    # REAL video path: codec-capability routing picks the MJPEG-in-BMFF rows,
+    # sample_frames demuxes + baseline-JPEG-decodes them (no codec library),
+    # one feature row per sampled frame keyed media_id:frame_idx
+    vids = annotate_decodable(media.filter(expr="kind == 'video'")).filter(
+        expr="codec_supported"
+    )
+    frames = sample_frames(vids, n_frames=3)
+
+    def frame_rows(t: pa.Table) -> pa.Table:
+        feats = [np.asarray(x) for x in t.column("feature").to_pylist()]
+        mids = [
+            f"{m}:{i}"
+            for m, i in zip(
+                t.column("media_id").to_pylist(),
+                t.column("frame_idx").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.string()),
+                "kind": pa.array(["video"] * t.num_rows, pa.string()),
+                "feat_dim": pa.array([len(x) for x in feats], pa.int64()),
+                "feat_norm": pa.array(
+                    [round(float(np.linalg.norm(x)), 6) for x in feats],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        imgs.map_batches(summarize("image"), batch_format="pyarrow")
+        .union(auds.map_batches(summarize("audio"), batch_format="pyarrow"))
+        .union(frames.map_batches(frame_rows, batch_format="pyarrow"))
     )
 
 

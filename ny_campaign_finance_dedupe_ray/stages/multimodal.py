@@ -61,6 +61,13 @@ def _payload_native(kind: str, payload: bytes | None) -> bool:
         return payload.startswith(b"P6") or payload.startswith(b"\xff\xd8")
     if kind == "audio":
         return payload.startswith(b"RIFF")
+    if kind == "video":
+        # BMFF with a motion-JPEG sample entry decodes natively
+        # (demux_mjpeg + functions/jpeg.py); structural peek, no frame copy
+        if len(payload) < 12 or payload[4:8] != b"ftyp":
+            return False
+        p = payload.find(b"stsd")
+        return p >= 0 and payload[p + 16: p + 20] in (b"jpeg", b"mjpa", b"mjpb")
     return False
 
 
@@ -79,8 +86,11 @@ def annotate_decodable(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             else [None] * t.num_rows
         )
         payloads = t.column("payload").to_pylist()
+        # mime can declare native support outright, but container mimes
+        # (video/mp4) say nothing about the codec inside — always also
+        # peek at the payload structure
         ok = [
-            (m in NATIVE_MIMES) if m else _payload_native(k, p)
+            (m in NATIVE_MIMES) or _payload_native(k, p)
             for k, m, p in zip(kinds, mimes, payloads)
         ]
         return t.append_column("codec_supported", pa.array(ok, pa.bool_()))
@@ -307,36 +317,182 @@ class DecodeAudio:
         )
 
 
-class SampleFrames:
-    """Actor: sample ``n_frames`` evenly spaced pseudo-frames from a video
-    payload — one output row per (media_id, frame_idx).  Video container
-    parsing needs a real codec stack; the timestamp plumbing is real, the
-    frame decode is not (``fake=True`` required)."""
+def demux_mjpeg(payload: bytes):
+    """ISO-BMFF demux (ISO 14496-12, public spec) for a motion-JPEG track:
+    walk moov -> trak -> mdia -> {mdhd, minf -> stbl -> {stsd, stts, stsz,
+    stco}}, require a 'jpeg'/'mjpa' sample entry, and slice the samples out
+    of the file by stco chunk offset + stsz sizes.  Returns
+    ``(timescale, [(t_units, jpeg_bytes), ...])`` or ``None`` when the
+    payload is not BMFF or carries no MJPEG track.  This is a REAL demuxer
+    for the one codec the engine decodes natively (functions/jpeg.py);
+    other video codecs still route to ``fake=True`` / a codec pool."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    n = len(payload)
 
-    def __init__(self, n_frames: int = 4, fake: bool = False):
+    def boxes(start: int, end: int):
+        p = start
+        while p + 8 <= end:
+            size = struct.unpack_from(">I", payload, p)[0]
+            tag = payload[p + 4: p + 8]
+            header = 8
+            if size == 1:
+                if p + 16 > end:
+                    return
+                size = struct.unpack_from(">Q", payload, p + 8)[0]
+                header = 16
+            elif size == 0:
+                size = end - p
+            if size < header or p + size > end:
+                return
+            yield tag, p + header, p + size
+            p += size
+
+    def find(start, end, tag):
+        for t, b, e in boxes(start, end):
+            if t == tag:
+                return b, e
+        return None
+
+    moov = find(0, n, b"moov")
+    if moov is None:
+        return None
+    for t, tb, te in boxes(*moov):
+        if t != b"trak":
+            continue
+        mdia = find(tb, te, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = find(*mdia, b"mdhd")
+        minf = find(*mdia, b"minf")
+        if mdhd is None or minf is None:
+            continue
+        ver = payload[mdhd[0]]
+        timescale = struct.unpack_from(
+            ">I", payload, mdhd[0] + (20 if ver == 1 else 12)
+        )[0]
+        stbl = None
+        if (sub := find(*minf, b"stbl")) is not None:
+            stbl = sub
+        if stbl is None:
+            continue
+        stsd = find(*stbl, b"stsd")
+        stts = find(*stbl, b"stts")
+        stsz = find(*stbl, b"stsz")
+        stco = find(*stbl, b"stco")
+        if None in (stsd, stts, stsz, stco):
+            continue
+        # stsd: ver/flags(4) entry_count(4) then sample entries
+        if struct.unpack_from(">I", payload, stsd[0] + 4)[0] < 1:
+            continue
+        fourcc = payload[stsd[0] + 12: stsd[0] + 16]
+        if fourcc not in (b"jpeg", b"mjpa", b"mjpb"):
+            continue
+        # stsz: ver/flags(4) sample_size(4) sample_count(4) [+ sizes]
+        fixed, count = struct.unpack_from(">II", payload, stsz[0] + 4)
+        sizes = (
+            [fixed] * count
+            if fixed
+            else list(struct.unpack_from(f">{count}I", payload, stsz[0] + 12))
+        )
+        # stco: ver/flags(4) entry_count(4) offsets; samples are contiguous
+        # from the first chunk offset (stsc collapsing to one run is the
+        # muxer contract; a multi-chunk stco is honored chunk-by-chunk only
+        # when chunks are back-to-back)
+        n_off = struct.unpack_from(">I", payload, stco[0] + 4)[0]
+        if n_off < 1:
+            continue
+        offset = struct.unpack_from(">I", payload, stco[0] + 8)[0]
+        # stts: ver/flags(4) entry_count(4) (count, delta)*
+        n_ent = struct.unpack_from(">I", payload, stts[0] + 4)[0]
+        deltas: list[int] = []
+        p = stts[0] + 8
+        for _ in range(n_ent):
+            cnt, delta = struct.unpack_from(">II", payload, p)
+            deltas.extend([delta] * cnt)
+            p += 8
+        frames = []
+        t_units = 0
+        pos = offset
+        for i, sz in enumerate(sizes):
+            if pos + sz > n:
+                break
+            frames.append((t_units, payload[pos: pos + sz]))
+            t_units += deltas[i] if i < len(deltas) else (deltas[-1] if deltas else 1)
+            pos += sz
+        if frames:
+            return timescale, frames
+    return None
+
+
+class SampleFrames:
+    """Actor: sample ``n_frames`` evenly spaced frames from a video payload —
+    one output row per (media_id, frame_idx).
+
+    NATIVE path (no codec library): motion-JPEG in ISO-BMFF — ``demux_mjpeg``
+    slices the samples out of the container and ``functions/jpeg.decode_jpeg``
+    (pure-numpy T.81 baseline) rasterizes them; features via
+    ``image_features``.  Other codecs (H.264...) genuinely need a codec
+    stack: they raise unless ``fake=True``, which emits the timestamp
+    plumbing with a payload-seeded pseudo-feature."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = False, feat_dim: int = 64):
+        from ..functions.jpeg import decode_jpeg
+
+        self._decode_jpeg = decode_jpeg  # bound once per actor
         self.n_frames = n_frames
         self.fake = fake
+        self.feat_dim = feat_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video decode requires a codec library not present here; "
-                "construct SampleFrames(fake=True) for the fake sampler"
-            )
         ids, idxs, ts = [], [], []
+        widths, heights, feats = [], [], []
         mids = batch.column("media_id").to_pylist()
         durs = batch.column("duration_ms").to_pylist()
-        for mid, dur in zip(mids, durs):
-            d = dur or 0
-            for f in range(self.n_frames):
-                ids.append(mid)
-                idxs.append(f)
-                ts.append(int(d * f / max(self.n_frames - 1, 1)))
+        payloads = batch.column("payload").to_pylist()
+        for mid, dur, payload in zip(mids, durs, payloads):
+            demuxed = demux_mjpeg(payload) if payload else None
+            if demuxed is not None:
+                timescale, frames = demuxed
+                k = min(self.n_frames, len(frames))
+                picks = np.unique(
+                    np.linspace(0, len(frames) - 1, k).round().astype(int)
+                )
+                for fi, p in enumerate(picks):
+                    t_units, jpg = frames[p]
+                    img = self._decode_jpeg(jpg)
+                    h, w = img.shape[:2]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ts.append(int(t_units * 1000 / timescale) if timescale else 0)
+                    widths.append(w)
+                    heights.append(h)
+                    feats.append(image_features(img, self.feat_dim))
+            elif self.fake:
+                d = dur or 0
+                for f in range(self.n_frames):
+                    ids.append(mid)
+                    idxs.append(f)
+                    ts.append(int(d * f / max(self.n_frames - 1, 1)))
+                    widths.append(0)
+                    heights.append(0)
+                    feats.append(_fake_feature(payload, self.feat_dim))
+            else:
+                raise NotImplementedError(
+                    "only MJPEG-in-BMFF decodes without a codec library; "
+                    "construct SampleFrames(fake=True) to pseudo-sample "
+                    "other codecs"
+                )
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "frame_idx": pa.array(idxs, pa.int32()),
                 "t_ms": pa.array(ts, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "feature": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
             }
         )
 
@@ -446,6 +602,96 @@ def make_mp4(
     return ftyp + box(b"moov", box(b"mvhd", mvhd) + traks)
 
 
+def make_mjpeg_mp4(
+    frames: "list[np.ndarray]", fps: int = 4, quality: int = 85,
+    timescale: int = 1000,
+) -> bytes:
+    """A REAL ISO-BMFF file with one motion-JPEG video track: the frames are
+    baseline-JPEG encoded (functions/jpeg.py) into ``mdat`` and indexed by a
+    proper stbl (stsd 'jpeg' VisualSampleEntry, stts, stsc, stsz, stco) —
+    decodable end-to-end by demux_mjpeg + decode_jpeg with no codec library.
+    Layout: ftyp, mdat, moov (mdat-first so stco offsets are known)."""
+    from ..functions.jpeg import encode_jpeg
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    jpgs = [encode_jpeg(f, quality=quality) for f in frames]
+    h, w = frames[0].shape[:2]
+    n_samples = len(jpgs)
+    delta = max(timescale // max(fps, 1), 1)
+    duration = delta * n_samples
+
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+    mdat = box(b"mdat", b"".join(jpgs))
+    first_sample_off = len(ftyp) + 8  # into mdat body
+
+    # VisualSampleEntry 'jpeg' (14496-12 §12.1.3): 6 reserved + data_ref_idx,
+    # then 16 predefined/reserved, width/height, resolutions, frame_count,
+    # compressorname(32), depth, -1
+    entry_body = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = box(
+        b"stsd", struct.pack(">II", 0, 1) + box(b"jpeg", entry_body)
+    )
+    stts = box(b"stts", struct.pack(">III I", 0, 1, n_samples, delta))
+    stsc = box(b"stsc", struct.pack(">II III", 0, 1, 1, n_samples, 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_samples)
+        + struct.pack(f">{n_samples}I", *[len(j) for j in jpgs]),
+    )
+    stco = box(b"stco", struct.pack(">III", 0, 1, first_sample_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">IIIII HH", 0, 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = box(
+        b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(
+        b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0)
+        + struct.pack(">I", duration) + b"\x00" * 52
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd",
+        bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, timescale, duration)
+        + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def synth_video_frames(
+    n_frames: int, width: int, height: int, seed: int
+) -> "list[np.ndarray]":
+    """Deterministic frame sequence: a gradient that pans with frame index
+    (adjacent frames differ smoothly, like real video)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 64, size=(height, width), dtype=np.uint8)
+    frames = []
+    for f in range(n_frames):
+        yy, xx = np.mgrid[0:height, 0:width]
+        r = ((xx * 4 + f * 8) % 256).astype(np.uint8)
+        g = ((yy * 4 + f * 4) % 256).astype(np.uint8)
+        b = (base + f * 2).astype(np.uint8)
+        frames.append(np.stack([r, g, b], axis=2))
+    return frames
+
+
 def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media table with REAL payloads for every kind:
     PPM images, PCM16 WAV audio, and minimal ISO-BMFF video containers
@@ -468,7 +714,9 @@ def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
             rows["width"].append(0)
             rows["height"].append(0)
             rows["duration_ms"].append(250)
-        else:
+        elif i % 6 == 2:
+            # moov-only container (foreign codec): probe-able, NOT natively
+            # decodable — exercises the codec-capability routing
             rows["kind"].append("video")
             rows["mime"].append("video/mp4")
             rows["payload"].append(
@@ -477,6 +725,16 @@ def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
             rows["width"].append(640)
             rows["height"].append(480)
             rows["duration_ms"].append((2 + i % 7) * 1000)
+        else:
+            # REAL motion-JPEG video: demux + baseline-JPEG decode end-to-end
+            nf = 3 + i % 3
+            frames = synth_video_frames(nf, 32, 24, seed + i)
+            rows["kind"].append("video")
+            rows["mime"].append("video/mp4")
+            rows["payload"].append(make_mjpeg_mp4(frames, fps=4))
+            rows["width"].append(32)
+            rows["height"].append(24)
+            rows["duration_ms"].append(nf * 250)
     return pa.table(
         {k: pa.array(v, MEDIA_SCHEMA.field(k).type) for k, v in rows.items()}
     )

@@ -187,8 +187,14 @@ def test_sample_frames():
     vids = media.filter(lambda r: r["kind"] == "video")
     out = multimodal.sample_frames(vids, n_frames=4, fake=True).to_pandas()
     assert len(out) == 3 * 4
-    one = out[out["media_id"] == out["media_id"].iloc[0]]
+    # m00002 is the moov-only (foreign-codec) row -> fake timestamp plumbing
+    one = out[out["media_id"] == "m00002"].sort_values("frame_idx")
     assert one["t_ms"].tolist() == [0, 1333, 2666, 4000]
+    assert (one["width"] == 0).all()
+    # the MJPEG rows decode for real: nonzero dims, monotone timestamps
+    mj = out[out["media_id"] == "m00005"].sort_values("frame_idx")
+    assert (mj["width"] == 32).all() and (mj["height"] == 24).all()
+    assert mj["t_ms"].is_monotonic_increasing
 
 
 def test_ivf_topk_recall():
@@ -329,3 +335,73 @@ def test_probe_media_covers_audio_rows(ray_session):
     video = out[out["kind"] == "video"]
     assert (video["container"] == "mp4").all()
     assert video["duration_probe_ms"].notna().all()
+
+def test_mjpeg_mp4_roundtrip_psnr():
+    """Mux real JPEG frames into ISO-BMFF, demux, decode: PSNR-gated."""
+    from ny_campaign_finance_dedupe_ray.functions.jpeg import decode_jpeg
+
+    frames = multimodal.synth_video_frames(5, 32, 24, seed=7)
+    mp4 = multimodal.make_mjpeg_mp4(frames, fps=4)
+    # still a valid container for the probe
+    meta = multimodal.probe_mp4(mp4)
+    assert meta["n_tracks"] == 1 and meta["duration_ms"] == 1250
+    timescale, samples = multimodal.demux_mjpeg(mp4)
+    assert timescale == 1000
+    assert [t for t, _ in samples] == [0, 250, 500, 750, 1000]
+    for (t, jpg), orig in zip(samples, frames):
+        img = decode_jpeg(jpg)
+        assert img.shape == orig.shape
+        mse = np.mean((img.astype(float) - orig.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / mse) if mse else 99.0
+        assert psnr > 28.0, psnr
+    # non-MJPEG containers don't demux
+    assert multimodal.demux_mjpeg(multimodal.make_mp4()) is None
+    assert multimodal.demux_mjpeg(b"") is None
+
+
+def test_sample_frames_native_mjpeg(ray_session):
+    import ray.data as rd
+
+    frames = multimodal.synth_video_frames(6, 16, 16, seed=3)
+    rows = [
+        {"media_id": "v0", "kind": "video", "mime": "video/mp4",
+         "payload": multimodal.make_mjpeg_mp4(frames, fps=2),
+         "duration_ms": 3000},
+    ]
+    out = (
+        multimodal.sample_frames(rd.from_items(rows), n_frames=3)
+        .to_pandas()
+        .sort_values("frame_idx")
+    )
+    # native path: real dims, 3 evenly spaced frames with real timestamps
+    assert len(out) == 3
+    assert (out["width"] == 16).all() and (out["height"] == 16).all()
+    assert list(out["t_ms"]) == [0, 1000, 2500]
+    assert all(len(f) == 64 for f in out["feature"])
+
+    # foreign codec without fake -> raises; with fake -> schema-compatible rows
+    bad = [{"media_id": "v1", "kind": "video", "mime": "video/mp4",
+            "payload": multimodal.make_mp4(2.0), "duration_ms": 2000}]
+    with pytest.raises(Exception):
+        multimodal.sample_frames(rd.from_items(bad), n_frames=2).to_pandas()
+    fake = multimodal.sample_frames(
+        rd.from_items(bad), n_frames=2, fake=True
+    ).to_pandas()
+    assert list(fake.columns) == list(out.columns)
+    assert (fake["width"] == 0).all()
+
+
+def test_annotate_decodable_routes_mjpeg(ray_session):
+    import ray.data as rd
+
+    t = multimodal.synth_media(n=24, seed=42)
+    out = multimodal.annotate_decodable(rd.from_arrow(t)).to_pandas()
+    vids = out[out["kind"] == "video"]
+    mj = vids[vids["codec_supported"]]
+    other = vids[~vids["codec_supported"]]
+    assert len(mj) > 0 and len(other) > 0  # both classes present
+    # every supported video row really demuxes
+    for p in mj["payload"]:
+        assert multimodal.demux_mjpeg(p) is not None
+    for p in other["payload"]:
+        assert multimodal.demux_mjpeg(p) is None
