@@ -268,3 +268,54 @@ def test_dropped_work_counters_link_and_disabled():
     got = counters.dropped_totals(reset=True)
     assert got["hot_link_blocks"] == 1
     assert got["hot_link_rows"] == 10
+
+def test_host_key_vectorized_matches_urlparse():
+    """The RE2 netloc extract must agree with urllib.parse.urlparse on a
+    url-shaped corpus including the stdlib's unsafe-byte and C0-strip
+    behaviors (every scalar->vector kernel port gets a parity fuzz)."""
+    import dataclasses
+    from urllib.parse import urlparse
+
+    from ny_campaign_finance_dedupe_ray.stages.blocking import (
+        _block_batch,
+        doc_config,
+    )
+
+    urls = [
+        "http://example.com/a/b",
+        "https://Sub.Example.COM:8443/x?y#z",
+        "ftp+ssh://h-1.example/x",
+        "//scheme-relative.example/p",
+        "http://",
+        "no-scheme/path",
+        "1http://not-a-scheme.example/",
+        "-http://also-not.example/",
+        " http://leading-space.example/",
+        "http://trailing-space.example/ ",
+        "htt\tp://tab-in-scheme.example/",
+        "http://new\nline.example/",
+        "http://h?only-query",
+        "http://h#only-frag",
+        "http://backs\\lash.example/p",
+        "http://ünïcode.example/p",
+        "mailto:user@example.com",
+        "",
+    ]
+    cfg = dataclasses.replace(
+        doc_config(), predicates=[], minhash_column=None, host_key=True
+    )
+    batch = pa.table({
+        "record_id": pa.array(urls, pa.string()),
+        "text_norm": pa.array(["x"] * len(urls), pa.string()),
+    })
+    out = _block_batch(batch, cfg).to_pandas()
+    got = {}
+    for rid, key in zip(out["record_id"], out["block_key"]):
+        if key.startswith("host:"):
+            got[rid] = key[5:]
+    want = {}
+    for u in urls:
+        netloc = urlparse(u).netloc
+        if netloc:
+            want[u] = netloc
+    assert got == want, (got, want)

@@ -266,3 +266,43 @@ def test_converted_model_scores_like_reference(settings_file):
     got = scorer(batch).to_pandas().set_index("id_a")["score"]
     for i in range(len(rows)):
         assert got[f"a{i}"] == pytest.approx(want[i], abs=1e-6)
+
+
+def test_combine_predicates(tmp_path, settings_file):
+    """tools/combine_predicates: first model's spec + selected predicates of
+    the second (reference matching_evaluation/combine_predicates.py:12-30);
+    accepts a reference settings pickle as either input."""
+    import subprocess
+    import sys as _sys
+
+    from ny_campaign_finance_dedupe_ray.state.model import Model
+    from tools.combine_predicates import combine_predicates, load_model_any
+
+    m1 = Model(
+        features=[], weights=[], bias=0.0,
+        predicate_names=["(a, f1)", "(b, f2)"],
+    )
+    m2 = Model(
+        features=[], weights=[], bias=0.0,
+        predicate_names=["(c, g1)", "(d, g2)", "(e, g3)"],
+    )
+    out = combine_predicates(m1, m2, [2, 0])
+    assert out.predicate_names == ["(a, f1)", "(b, f2)", "(e, g3)", "(c, g1)"]
+    assert out.features == m1.features and out.bias == m1.bias
+
+    # pickle input path: combine the fixture settings with itself via CLI
+    p1 = tmp_path / "m1.json"
+    m1.save(str(p1))
+    out_path = tmp_path / "comb.json"
+    r = subprocess.run(
+        [_sys.executable, "tools/combine_predicates.py", str(p1),
+         settings_file, "1", str(out_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    comb = Model.load(str(out_path))
+    assert comb.predicate_names == [
+        "(a, f1)", "(b, f2)",
+        "((wholeFieldPredicate, zip), (firstTokenPredicate, name))",
+    ]
+    assert load_model_any(str(out_path)).predicate_names == comb.predicate_names
