@@ -165,8 +165,15 @@ QUERY_NAMES = [
     "embedding_neardup",
     "tumbling_window",
     "session_window",
+    "hopping_window",
+    "customer_order_coalesce",
+    "tfidf_pairs",
     "media_features",
+    "media_probe",
 ]
+# record_link is NOT in the bench list: ~14 s nominal at sf0.1 but with
+# 80 s stall draws on this VM — covered instead by the snapshot test and
+# the sf0.01 driver correctness run.
 
 
 def run_queries() -> dict:

@@ -17,6 +17,13 @@ from __future__ import annotations
 
 import sys
 
+import os as _os
+
+# runnable as a script: put the repo root on sys.path
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
 from ny_campaign_finance_dedupe_ray.state.model import Model
 
 

@@ -31,6 +31,13 @@ from __future__ import annotations
 import pickle
 import sys
 
+import os as _os
+
+# runnable as a script: put the repo root on sys.path
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
 # module prefixes that are SAFE to import for real during unpickling
 _REAL_PREFIXES = (
     "numpy",
