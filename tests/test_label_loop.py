@@ -214,3 +214,38 @@ def test_label_loop_link_mode():
     p_hat = sigmoid(loop._X[idx] @ loop.weights + loop.bias)
     if y.any() and (~y).any():
         assert p_hat[y].mean() > p_hat[~y].mean() + 0.2
+
+def test_console_label_terminal_loop():
+    """console_label: scripted y/n/u/p/f responses drive the LabelLoop via
+    the reference's terminal contract (convenience.py:15-109) — previous
+    buffer, running counts, flush-on-finish."""
+    import io
+
+    from ny_campaign_finance_dedupe_ray.state.console_label import console_label
+
+    recs, uid = _load_restaurants()
+    rec_dicts = recs.set_index("record_id").to_dict("index")
+    candidates = [
+        P.StringPredicate(P.first_token, "name"),
+        P.StringPredicate(P.first_token, "city"),
+    ]
+    feats = [
+        Feature("jw_name", "name", "jaro_winkler"),
+        Feature("lev_name", "name", "levenshtein_ratio"),
+    ]
+    loop = LabelLoop(rec_dicts, feats, candidates, sample_size=400, seed=11)
+
+    # y, n, u (buffered then discarded), p->y (revise previous), then f
+    script = iter(["y", "n", "u", "p", "y", "f"])
+    out = io.StringIO()
+    console_label(loop, input_fn=lambda: next(script), output=out)
+
+    # y + n + the revised y flushed; 'u' contributed nothing
+    assert sum(loop.labels.values()) >= 1  # at least one positive marked
+    assert len(loop.labels) >= 2           # and one negative
+    text = out.getvalue()
+    assert "Do these records refer to the same thing?" in text
+    assert "(p)revious" in text            # buffer path exercised
+    assert "Finished labeling" in text
+    # field lines printed for both records of a pair
+    assert text.count("name :") >= 2
