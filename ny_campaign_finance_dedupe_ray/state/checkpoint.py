@@ -121,3 +121,60 @@ class StageCheckpoint:
             shutil.rmtree(self.dir)
         os.replace(tmp, self.dir)
         return self.read()
+
+
+class PartitionedCheckpoint:
+    """Per-PARTITION checkpoints for shard-parallel stages: one output
+    directory (with its own lineage manifest) per input shard, so a failed
+    or interrupted run reprocesses ONLY the shards whose manifest is
+    missing or stale — never the finished ones, and never one giant file.
+    This is the per-partition half of the resume contract (the per-stage
+    half is ``StageCheckpoint``); shard manifests carry the same lineage
+    fields (params hash, input fingerprint, row count, engine version).
+
+    Shards process sequentially on the driver but each shard's pipeline is
+    a full Dataset execution (all cores); at cluster scale shards map to
+    input directories (e.g. one per Common-Crawl segment)."""
+
+    def __init__(self, workdir: str, name: str):
+        self.dir = os.path.join(workdir, name)
+        self.name = name
+
+    def shard(self, shard_id: str) -> StageCheckpoint:
+        return StageCheckpoint(self.dir, shard_id)
+
+    def run(
+        self,
+        shards: "list[tuple[str, str]]",
+        factory: Callable[[str], "ray.data.Dataset"],
+        params: dict,
+    ) -> "ray.data.Dataset":
+        """``shards``: [(shard_id, input_path)].  ``factory(input_path)``
+        builds one shard's output Dataset.  Returns the union of all shard
+        checkpoints; writes a top-level manifest summarizing per-shard
+        rows."""
+        os.makedirs(self.dir, exist_ok=True)
+        summary = {}
+        for shard_id, path in shards:
+            sc = self.shard(shard_id)
+            sc.run(lambda p=path: factory(p), params, dir_fingerprint(path))
+            summary[shard_id] = sc.manifest()["row_count"]
+        with open(os.path.join(self.dir, "_shards.json"), "w") as f:
+            json.dump(
+                {
+                    "stage": self.name,
+                    "shards": summary,
+                    "params_hash": params_hash(params),
+                    "written_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+                f,
+                indent=2,
+            )
+        # read_parquet rejects a LIST of directories — union per-shard reads
+        parts = [self.shard(sid).read() for sid, _ in shards]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import json
+
+import pytest
 import os
 
 import pyarrow as pa
@@ -89,3 +91,74 @@ def test_checkpointed_with_interaction_feature(tmp_path, fixture_tables):
         pages_path, str(tmp_path / "work_ix"), model=model
     ).to_pandas()
     assert len(clusters) > 0
+
+def test_partitioned_checkpoint_resumes_per_shard(tmp_path):
+    """A failed run keeps its finished shard checkpoints; the rerun
+    recomputes ONLY the failed shard, and a changed input invalidates just
+    its own shard (per-partition lineage, north-rule resume contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.state.checkpoint import (
+        PartitionedCheckpoint,
+    )
+
+    shards = []
+    for i in range(3):
+        p = tmp_path / f"in_{i}"
+        p.mkdir()
+        pq.write_table(
+            pa.table({"x": pa.array([i * 10 + j for j in range(4)], pa.int64())}),
+            str(p / "part.parquet"),
+        )
+        shards.append((f"shard{i}", str(p)))
+
+    calls = []
+
+    def make_factory(fail_on=None):
+        def factory(path):
+            calls.append(path)
+            if fail_on and fail_on in path:
+                raise RuntimeError("simulated shard failure")
+            return rd.read_parquet(path).map_batches(
+                lambda t: t.append_column(
+                    "y", pa.array([v * 2 for v in t.column("x").to_pylist()],
+                                  pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        return factory
+
+    ck = PartitionedCheckpoint(str(tmp_path / "wd"), "double")
+    params = {"mult": 2}
+
+    # first attempt dies on shard 2
+    with pytest.raises(RuntimeError):
+        ck.run(shards, make_factory(fail_on="in_2"), params)
+    assert ck.shard("shard0").manifest()["complete"] is True
+    assert ck.shard("shard1").manifest()["complete"] is True
+    assert ck.shard("shard2").manifest() is None
+
+    # resume: only the failed shard recomputes
+    calls.clear()
+    out = ck.run(shards, make_factory(), params).to_pandas()
+    assert [c.rsplit("/", 1)[-1] for c in calls] == ["in_2"]
+    assert sorted(out["x"]) == sorted(i * 10 + j for i in range(3) for j in range(4))
+    assert (out.sort_values("x")["y"].to_numpy()
+            == out.sort_values("x")["x"].to_numpy() * 2).all()
+
+    # change ONE shard's input: only that shard is stale
+    pq.write_table(
+        pa.table({"x": pa.array([100, 101], pa.int64())}),
+        str(tmp_path / "in_1" / "part.parquet"),
+    )
+    calls.clear()
+    out2 = ck.run(shards, make_factory(), params).to_pandas()
+    assert [c.rsplit("/", 1)[-1] for c in calls] == ["in_1"]
+    assert set(out2["x"]) == {0, 1, 2, 3, 100, 101, 20, 21, 22, 23}
+
+    # per-shard metrics summary exists
+    import json as _json
+    sh = _json.loads((tmp_path / "wd" / "double" / "_shards.json").read_text())
+    assert sh["shards"]["shard1"] == 2
