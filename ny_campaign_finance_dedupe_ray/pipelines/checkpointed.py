@@ -14,7 +14,11 @@ from ..stages.extract import extract_text
 from ..stages.normalize import normalize_records
 from ..stages.pairs import candidate_pairs
 from ..stages.scoring import score_pairs
-from ..state.checkpoint import StageCheckpoint, dir_fingerprint
+from ..state.checkpoint import (
+    PartitionedCheckpoint,
+    StageCheckpoint,
+    dir_fingerprint,
+)
 from ..state.model import Model, default_model
 
 
@@ -27,7 +31,17 @@ def run_dedupe_checkpointed(
     cc_mode: str = "driver",
 ) -> "ray.data.Dataset":
     """pages parquet -> CLUSTERS, with resumable per-stage checkpoints under
-    ``workdir`` (records / blocks / scores / clusters)."""
+    ``workdir`` (records / blocks / scores / clusters).
+
+    The records stage (extract + normalize: embarrassingly shard-parallel)
+    checkpoints PER INPUT FILE when ``pages_path`` is a multi-file
+    directory — an interrupted extraction resumes at the first unfinished
+    shard, not from scratch (per-partition lineage, SURVEY.md §7 /
+    north-rule resume contract).  The shuffle-bearing stages (blocks /
+    scores / clusters) checkpoint per stage."""
+    import glob
+    import os
+
     cfg = cfg or default_config()
     model = model or default_model()
     cfg_params = {
@@ -36,14 +50,31 @@ def run_dedupe_checkpointed(
         "host_key": cfg.host_key,
         "max_block_size": cfg.max_block_size,
     }
-    input_fp = dir_fingerprint(pages_path)
 
-    records_cp = StageCheckpoint(workdir, "records")
-    records = records_cp.run(
-        lambda: normalize_records(extract_text(ray.data.read_parquet(pages_path))),
-        params={"stage": "records"},
-        input_fingerprint=input_fp,
+    def records_factory(path: str) -> "ray.data.Dataset":
+        return normalize_records(extract_text(ray.data.read_parquet(path)))
+
+    files = (
+        sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        if os.path.isdir(pages_path)
+        else []
     )
+    if len(files) > 1:
+        records_pc = PartitionedCheckpoint(workdir, "records")
+        records = records_pc.run(
+            [(f"part{i:05d}", f) for i, f in enumerate(files)],
+            records_factory,
+            params={"stage": "records"},
+        )
+        records_fp = records_pc.fingerprint()
+    else:
+        records_cp = StageCheckpoint(workdir, "records")
+        records = records_cp.run(
+            lambda: records_factory(pages_path),
+            params={"stage": "records"},
+            input_fingerprint=dir_fingerprint(pages_path),
+        )
+        records_fp = records_cp.fingerprint()
 
     import dataclasses
 
@@ -51,7 +82,7 @@ def run_dedupe_checkpointed(
     blocks = blocks_cp.run(
         lambda: block_records(records, dataclasses.replace(cfg, payload_columns=())),
         params={"stage": "blocks", **cfg_params},
-        input_fingerprint=records_cp.fingerprint(),
+        input_fingerprint=records_fp,
     )
 
     scores_cp = StageCheckpoint(workdir, "scores")

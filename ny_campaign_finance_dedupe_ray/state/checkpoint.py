@@ -155,16 +155,22 @@ class PartitionedCheckpoint:
         rows."""
         os.makedirs(self.dir, exist_ok=True)
         summary = {}
+        out_fps = []
         for shard_id, path in shards:
             sc = self.shard(shard_id)
             sc.run(lambda p=path: factory(p), params, dir_fingerprint(path))
             summary[shard_id] = sc.manifest()["row_count"]
+            out_fps.append(sc.fingerprint())
+        combined = hashlib.sha256(
+            json.dumps(sorted(zip([s for s, _ in shards], out_fps))).encode()
+        ).hexdigest()[:16]
         with open(os.path.join(self.dir, "_shards.json"), "w") as f:
             json.dump(
                 {
                     "stage": self.name,
                     "shards": summary,
                     "params_hash": params_hash(params),
+                    "output_fingerprint": combined,
                     "written_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                     ),
@@ -178,3 +184,8 @@ class PartitionedCheckpoint:
         for p in parts[1:]:
             out = out.union(p)
         return out
+
+    def fingerprint(self) -> str:
+        """Combined output fingerprint over all shards (chains stages)."""
+        with open(os.path.join(self.dir, "_shards.json")) as f:
+            return json.load(f)["output_fingerprint"]

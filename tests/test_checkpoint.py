@@ -162,3 +162,39 @@ def test_partitioned_checkpoint_resumes_per_shard(tmp_path):
     import json as _json
     sh = _json.loads((tmp_path / "wd" / "double" / "_shards.json").read_text())
     assert sh["shards"]["shard1"] == 2
+
+def test_checkpointed_run_shards_extract_per_file(tmp_path):
+    """Multi-file pages input: the records stage checkpoints per input
+    file; touching one file recomputes only that shard while the
+    downstream stage correctly goes stale (fingerprint chain)."""
+    from ny_campaign_finance_dedupe_ray import synth
+    from ny_campaign_finance_dedupe_ray.pipelines.checkpointed import (
+        run_dedupe_checkpointed,
+    )
+
+    fx = synth.generate(n_entities=40, seed=5)
+    pages = fx["pages"]
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    half = pages.num_rows // 2
+    pq.write_table(pages.slice(0, half), str(pdir / "a.parquet"))
+    pq.write_table(pages.slice(half), str(pdir / "b.parquet"))
+
+    wd = tmp_path / "wd"
+    out = run_dedupe_checkpointed(str(pdir), str(wd)).to_pandas()
+    assert len(out) == pages.num_rows
+    shard_manifest = json.loads((wd / "records" / "_shards.json").read_text())
+    assert set(shard_manifest["shards"]) == {"part00000", "part00001"}
+
+    # touch one shard: only it recomputes; totals unchanged
+    m0_before = json.loads(
+        (wd / "records" / "part00000" / "_manifest.json").read_text()
+    )
+    pq.write_table(pages.slice(0, half), str(pdir / "a.parquet"))
+    # (rewrite with identical content -> same size fingerprint -> still valid)
+    out2 = run_dedupe_checkpointed(str(pdir), str(wd)).to_pandas()
+    m0_after = json.loads(
+        (wd / "records" / "part00000" / "_manifest.json").read_text()
+    )
+    assert m0_after == m0_before  # shard untouched (fingerprint match)
+    assert sorted(out2["record_id"]) == sorted(out["record_id"])
