@@ -405,3 +405,49 @@ def test_annotate_decodable_routes_mjpeg(ray_session):
         assert multimodal.demux_mjpeg(p) is not None
     for p in other["payload"]:
         assert multimodal.demux_mjpeg(p) is None
+
+def test_container_parsers_never_crash_on_garbage():
+    """probe_mp4 / probe_wav / demux_mjpeg walk untrusted binary — random
+    bytes and bit-flipped valid payloads must return None/partial metadata
+    or raise ValueError, never IndexError/struct.error/segfault paths."""
+    from hypothesis import given, settings, strategies as st
+
+    valid_mp4 = multimodal.make_mjpeg_mp4(
+        multimodal.synth_video_frames(2, 8, 8, seed=1), fps=2
+    )
+    valid_wav = multimodal.make_wav(0.05, 100.0)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def random_bytes(payload):
+        multimodal.probe_mp4(payload)
+        multimodal.probe_wav(payload)
+        multimodal.demux_mjpeg(payload)
+
+    random_bytes()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(valid_mp4) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=3),
+    )
+    def mutated(pos, byte, trunc_div):
+        for base in (valid_mp4, valid_wav):
+            b = bytearray(base)
+            b[pos % len(b)] = byte
+            payload = bytes(b)[: len(b) // (trunc_div + 1) if trunc_div else len(b)]
+            multimodal.probe_mp4(payload)
+            multimodal.probe_wav(payload)
+            d = multimodal.demux_mjpeg(payload)
+            if d is not None:
+                # demuxed frames may be corrupt JPEGs — decode must fail
+                # cleanly (ValueError/UnsupportedJpeg), not crash
+                from ny_campaign_finance_dedupe_ray.functions.jpeg import decode_jpeg
+                for _, jpg in d[1][:1]:
+                    try:
+                        decode_jpeg(jpg)
+                    except (ValueError, NotImplementedError):
+                        pass
+
+    mutated()
