@@ -408,6 +408,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     n = len(payload)
     while pos < n:
+        if pos + 1 >= n:
+            raise UnsupportedJpeg("truncated stream")
         if payload[pos] != 0xFF:
             raise UnsupportedJpeg("marker expected")
         marker = payload[pos + 1]
@@ -416,7 +418,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > n:
+            raise UnsupportedJpeg("truncated segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > n:
+            raise UnsupportedJpeg("corrupt segment length")
         seg = payload[pos + 2: pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -424,6 +430,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 if pq != 0:
                     raise UnsupportedJpeg("16-bit quant tables")
+                if p + 65 > len(seg):
+                    raise UnsupportedJpeg("truncated DQT")
                 qtables[tq] = np.frombuffer(
                     seg[p + 1: p + 65], dtype=np.uint8
                 ).astype(np.float64)
@@ -434,16 +442,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 bits = list(seg[p + 1: p + 17])
                 nv = sum(bits)
+                if len(bits) < 16 or p + 17 + nv > len(seg):
+                    raise UnsupportedJpeg("truncated DHT")
                 values = list(seg[p + 17: p + 17 + nv])
                 htables[(tc, th)] = _HuffTable(bits, values)
                 p += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise UnsupportedJpeg("truncated SOF")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise UnsupportedJpeg("non-8-bit precision")
+            if fh == 0 or fw == 0 or len(seg) < 6 + 3 * nc:
+                raise UnsupportedJpeg("corrupt SOF")
+            # decompression-bomb guard: a 2-byte corrupt dim field can claim
+            # 65535x65535 (~4G pixels -> tens of GB of plane buffers and ~67M
+            # MCU loop iterations). Real payloads here are media-pipeline
+            # frames; cap total pixels rather than trusting the header.
+            if fh * fw > 100_000_000:
+                raise UnsupportedJpeg("frame dimensions exceed pixel cap")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                if (hv >> 4) == 0 or (hv & 0xF) == 0:
+                    raise UnsupportedJpeg("corrupt sampling factors")
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
@@ -455,18 +477,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise UnsupportedJpeg("truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise UnsupportedJpeg("truncated SOS")
             ns = seg[0]
             scomps = []
             for ci in range(ns):
                 cs, tdta = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scomps.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
             scan_start = pos + seglen
-            return _decode_scan(
-                payload, scan_start, frame, scomps, qtables, htables,
-                restart_interval,
-            )
+            # corrupt entropy data / missing tables surface as index or key
+            # misses deep in the scan loop — untrusted input must fail as
+            # UnsupportedJpeg, not an internal IndexError
+            try:
+                return _decode_scan(
+                    payload, scan_start, frame, scomps, qtables, htables,
+                    restart_interval,
+                )
+            except (IndexError, KeyError, struct.error) as e:
+                raise UnsupportedJpeg(f"corrupt scan data: {e!r}") from e
         pos += seglen
     raise UnsupportedJpeg("no scan found")
 

@@ -367,10 +367,13 @@ def demux_mjpeg(payload: bytes):
         minf = find(*mdia, b"minf")
         if mdhd is None or minf is None:
             continue
+        if mdhd[0] >= mdhd[1]:
+            continue
         ver = payload[mdhd[0]]
-        timescale = struct.unpack_from(
-            ">I", payload, mdhd[0] + (20 if ver == 1 else 12)
-        )[0]
+        ts_off = mdhd[0] + (20 if ver == 1 else 12)
+        if ts_off + 4 > mdhd[1]:
+            continue
+        timescale = struct.unpack_from(">I", payload, ts_off)[0]
         stbl = None
         if (sub := find(*minf, b"stbl")) is not None:
             stbl = sub
@@ -383,33 +386,55 @@ def demux_mjpeg(payload: bytes):
         if None in (stsd, stts, stsz, stco):
             continue
         # stsd: ver/flags(4) entry_count(4) then sample entries
+        if stsd[0] + 16 > stsd[1]:
+            continue
         if struct.unpack_from(">I", payload, stsd[0] + 4)[0] < 1:
             continue
         fourcc = payload[stsd[0] + 12: stsd[0] + 16]
         if fourcc not in (b"jpeg", b"mjpa", b"mjpb"):
             continue
         # stsz: ver/flags(4) sample_size(4) sample_count(4) [+ sizes]
+        if stsz[0] + 12 > stsz[1]:
+            continue
         fixed, count = struct.unpack_from(">II", payload, stsz[0] + 4)
-        sizes = (
-            [fixed] * count
-            if fixed
-            else list(struct.unpack_from(f">{count}I", payload, stsz[0] + 12))
-        )
+        # allocation bomb guard: count/fixed are untrusted uint32s. A frame
+        # occupies >=1 payload byte, so sample_count can never meaningfully
+        # exceed the file size; the variable-size table must also fit its box.
+        if count > n:
+            continue
+        if fixed:
+            if fixed * count > n:
+                continue
+            sizes = [fixed] * count
+        else:
+            if stsz[0] + 12 + 4 * count > stsz[1]:
+                continue
+            sizes = list(struct.unpack_from(f">{count}I", payload, stsz[0] + 12))
         # stco: ver/flags(4) entry_count(4) offsets; samples are contiguous
         # from the first chunk offset (stsc collapsing to one run is the
         # muxer contract; a multi-chunk stco is honored chunk-by-chunk only
         # when chunks are back-to-back)
+        if stco[0] + 12 > stco[1]:
+            continue
         n_off = struct.unpack_from(">I", payload, stco[0] + 4)[0]
         if n_off < 1:
             continue
         offset = struct.unpack_from(">I", payload, stco[0] + 8)[0]
         # stts: ver/flags(4) entry_count(4) (count, delta)*
+        if stts[0] + 8 > stts[1]:
+            continue
         n_ent = struct.unpack_from(">I", payload, stts[0] + 4)[0]
         deltas: list[int] = []
         p = stts[0] + 8
         for _ in range(n_ent):
+            if p + 8 > stts[1]:
+                break
             cnt, delta = struct.unpack_from(">II", payload, p)
-            deltas.extend([delta] * cnt)
+            # cnt is an untrusted uint32; deltas are only ever consumed up to
+            # len(sizes), so cap the materialized run there (bomb guard)
+            deltas.extend([delta] * min(cnt, max(0, len(sizes) - len(deltas))))
+            if len(deltas) >= len(sizes):
+                break
             p += 8
         frames = []
         t_units = 0
