@@ -229,6 +229,17 @@ def _q_tfidf_pairs(sf_dir: str):
     return tfidf_similarity_pairs(docs, "text", threshold=0.9, id_column="doc_id")
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(
+        docs, "text", id_column="doc_id", k=8, df_cap=64, threshold=0.5
+    )
+
+
 def _q_quality(sf_dir: str):
     import ray.data as rd
 
@@ -538,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "normalize_docs": _q_normalize_docs,
         "tfidf_pairs": _q_tfidf_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -711,6 +723,28 @@ def oracle_sql() -> dict[str, str]:
             "ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM dots "
             "WHERE cosine >= 0.9 ORDER BY id_a, id_b"
+        ),
+        "jaccard_pairs": (
+            # exact rare-shingle jaccard (stages/dedup.ngram_jaccard_pairs):
+            # distinct char 8-gram shingles per doc, corpus df <= 64, jaccard
+            # over the kept sets; all-ascii corpus so substr == byte shingles
+            "WITH sh0 AS (SELECT DISTINCT doc_id, "
+            "substr(text, CAST(i AS INT), 8) AS sh "
+            "FROM (SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 7)) AS i "
+            "FROM documents)), "
+            "sh AS (SELECT doc_id, sh FROM sh0 "
+            "QUALIFY count(*) OVER (PARTITION BY sh) <= 64), "
+            "n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS shared FROM sh a JOIN sh b "
+            "ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT p.id_a, p.id_b, "
+            "ROUND(p.shared * 1.0 / (na.n + nb.n - p.shared), 6) AS jaccard "
+            "FROM pairs p JOIN n na ON na.doc_id = p.id_a "
+            "JOIN n nb ON nb.doc_id = p.id_b "
+            "WHERE p.shared * 1.0 / (na.n + nb.n - p.shared) >= 0.5 "
+            "ORDER BY p.id_a, p.id_b"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "

@@ -168,6 +168,7 @@ QUERY_NAMES = [
     "hopping_window",
     "customer_order_coalesce",
     "tfidf_pairs",
+    "jaccard_pairs",
     "media_features",
     "media_probe",
 ]

@@ -264,6 +264,183 @@ def verify_jaccard(
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 8,
+    df_cap: int = 64,
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs k-shingle Jaccard over rare shingles — the
+    deterministic counterpart of ``minhash_lsh_clusters``'s probabilistic
+    candidate path (and of the reference's canopy blocking over tf-idf,
+    /root/reference/dedupe_extension/dedupe/dedupe/tfidf.py semantics):
+    no recall loss, a DuckDB-checkable answer.
+
+    Semantics: a document's shingle set is its DISTINCT character k-gram
+    rolling hashes whose corpus document frequency is <= ``df_cap``;
+    jaccard = |A∩B| / |A∪B| over those sets.  Shingles shared by more
+    than df_cap documents are boilerplate: they carry no near-dup signal
+    but cost df² pair partials per shingle, so the cap is the explicit
+    scale knob (the stop-word analogue of tfidf_similarity_pairs' df
+    cutoff; measured on the sf0.1 corpus: 256 pairs at cap 64 vs 257 at
+    cap 128 — the rare-shingle answer is insensitive to the cap while
+    pair partials stay O(df_cap · postings)).  Dropped hot shingles are
+    counted in the run manifest (``jaccard_hot_shingles``).
+
+    Shuffle plan (4 bucketed exchanges; nothing corpus-sized on the
+    driver, shuffles carry (bucket, int64 hash, id) — never text):
+      shingle-bucket groupby -> local df, drop df > df_cap      (postings)
+      id-bucket groupby      -> local per-doc set size n        (sizes)
+      shingle-bucket groupby -> per-size pair kernel, carry n,
+                                local (id_a,id_b) count combine (partials)
+      pair-bucket groupby    -> shared = sum(cnt), jaccard      (pairs)
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b (int64 ids), jaccard
+    rounded to 6.  Shingling is byte-level over the utf8 buffer — equal to
+    character k-grams on ascii corpora (the DuckDB oracle's substr), a
+    documented divergence beyond.
+    """
+    from ..state.counters import add_dropped, enable_counters
+
+    if ray.is_initialized():
+        enable_counters()
+    from .pairs import _pairs_in_bucket
+
+    def emit_shingles(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = t.column(text_column)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, splits = H.shingle_hashes(text.fill_null(""), k=k)
+        rows, uh = _unique_per_row(h, splits)
+        return pa.table(
+            {
+                "id": ids.take(pa.array(rows)),
+                "sh": pa.array(uh.view(np.int64)),
+                "bucket": pa.array((uh % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    # exchange 1 (by shingle bucket): a shingle's postings all land in one
+    # bucket, so df is the exact local group size — the cap is applied here
+    # and hot shingles never reach the pair stage
+    def df_filter(g: pd.DataFrame) -> pd.DataFrame:
+        df_per = g.groupby("sh")["id"].transform("size")
+        keep = (df_per <= df_cap).to_numpy()
+        if not keep.all():
+            add_dropped(
+                "jaccard_hot_shingles", int(g.loc[~keep, "sh"].nunique())
+            )
+        g = g.loc[keep]
+        return pd.DataFrame(
+            {
+                "id": g["id"].to_numpy(),
+                "sh": g["sh"].to_numpy(),
+                "df": df_per[keep].to_numpy().astype(np.int64),
+                "bucket": (
+                    g["id"].to_numpy().astype(np.int64) % n_buckets
+                ),
+            }
+        )
+
+    # exchange 2 (by id bucket): all of a doc's kept shingles are local, so
+    # |set| is the group size; df==1 rows stop here (they contribute to n
+    # but can never emit a pair)
+    def doc_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        n_per = g.groupby("id")["sh"].transform("size")
+        sub = g["df"].to_numpy() >= 2
+        sh = g["sh"].to_numpy()[sub]
+        return pd.DataFrame(
+            {
+                "block_key": sh,
+                "record_id": g["id"].to_numpy()[sub],
+                "n": n_per.to_numpy()[sub].astype(np.int64),
+                "bucket": (sh.view(np.uint64) % np.uint64(n_buckets)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    # exchange 3 (by shingle bucket): per-size-class pair kernel with the
+    # doc set size carried; every shared shingle emits its pair once, then
+    # a LOCAL combiner collapses repeats (a near-dup pair shares hundreds
+    # of shingles, several per bucket) so the pair shuffle moves partial
+    # counts, not one row per shared shingle
+    def emit_pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs_in_bucket(g, max_block_size=df_cap)
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_b": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        return p.groupby(["id_a", "id_b"], as_index=False).agg(
+            n_a=("n_a", "first"), n_b=("n_b", "first"), cnt=("n_a", "size")
+        )
+
+    partials = (
+        docs.select_columns([id_column, text_column])
+        .map_batches(emit_shingles, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(df_filter, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(doc_sizes, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(emit_pair_partials, batch_format="pandas")
+    )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pk = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()),
+            "\x1f",
+        )
+        if isinstance(pk, pa.ChunkedArray):
+            pk = pk.combine_chunks()
+        h = H.hash64_str(pk)
+        return t.append_column(
+            "pbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    # exchange 4 (by pair bucket): shared = row count per pair; the filter
+    # runs on the unrounded ratio (the oracle's WHERE), rounding only the
+    # emitted column
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("cnt", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        shared = agg["shared"].to_numpy().astype(np.float64)
+        union = (
+            agg["n_a"].to_numpy() + agg["n_b"].to_numpy()
+        ).astype(np.float64) - shared
+        jac = shared / union
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": agg["id_a"].to_numpy()[keep],
+                "id_b": agg["id_b"].to_numpy()[keep],
+                "jaccard": np.round(jac[keep], 6),
+            }
+        )
+
+    return (
+        partials.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )
+
+
 def minhash_lsh_clusters(
     ds: "ray.data.Dataset",
     text_column: str = "text",
