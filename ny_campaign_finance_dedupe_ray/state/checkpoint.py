@@ -102,7 +102,35 @@ class StageCheckpoint:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         ds = factory()
+        os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+            # an EMPTY stage output writes no files at all, which would make
+            # the checkpoint unreadable (and a resumed run crash instead of
+            # resuming past a legitimately-empty stage, e.g. zero candidate
+            # pairs) — persist the schema as a zero-row file
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            try:
+                schema = ds.schema()
+            except Exception:
+                schema = None
+            if schema is None:
+                empty = pa.table({})
+            else:
+                # Dataset.schema().types can be numpy dtypes (pandas-block
+                # datasets) — normalize before building typed empty columns
+                fields = {}
+                for name, typ in zip(schema.names, schema.types):
+                    if not isinstance(typ, pa.DataType):
+                        try:
+                            typ = pa.from_numpy_dtype(typ)
+                        except (pa.ArrowNotImplementedError, TypeError):
+                            typ = pa.string()
+                    fields[name] = pa.array([], type=typ)
+                empty = pa.table(fields)
+            pq.write_table(empty, os.path.join(tmp, "empty-0.parquet"))
         rows = ray.data.read_parquet(tmp).count()
         manifest = {
             "stage": self.name,

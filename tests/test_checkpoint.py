@@ -198,3 +198,56 @@ def test_checkpointed_run_shards_extract_per_file(tmp_path):
     )
     assert m0_after == m0_before  # shard untouched (fingerprint match)
     assert sorted(out2["record_id"]) == sorted(out["record_id"])
+
+
+def test_stage_checkpoint_empty_output(tmp_path, ray_session):
+    """An empty stage output (e.g. zero candidate pairs) must checkpoint and
+    resume, not crash on a fileless directory (round-4 job-CLI bug)."""
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        src = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+        return src.filter(expr="x > 99")
+
+    cp = StageCheckpoint(str(tmp_path), "empty")
+    out1 = cp.run(factory, params={"p": 1}, input_fingerprint="f1")
+    assert out1.count() == 0 and calls["n"] == 1
+    m = cp.manifest()
+    assert m["complete"] and m["row_count"] == 0
+    # resume skips the stage and the checkpoint is readable
+    out2 = cp.run(factory, params={"p": 1}, input_fingerprint="f1")
+    assert out2.count() == 0 and calls["n"] == 1
+
+
+def test_job_cli_runs_and_resumes(tmp_path, ray_session):
+    """python -m ny_campaign_finance_dedupe_ray (the ray-job-submit surface):
+    end-to-end over sharded pages parquet, then a resumed re-submit."""
+    from ny_campaign_finance_dedupe_ray.__main__ import main
+
+    fx = synth.generate(n_entities=30, seed=7)
+    pages = fx["pages"]
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    half = pages.num_rows // 2
+    pq.write_table(pages.slice(0, half), str(pdir / "a.parquet"))
+    pq.write_table(pages.slice(half), str(pdir / "b.parquet"))
+    wd = tmp_path / "wd"
+    outdir = tmp_path / "out"
+
+    rc = main([
+        "--input", str(pdir), "--workdir", str(wd), "--output", str(outdir),
+    ])
+    assert rc == 0
+    manifest = json.loads((wd / "run_manifest.json").read_text())
+    assert manifest["total_records"] == pages.num_rows
+    assert "dropped_work" in manifest
+    written = rd.read_parquet(str(outdir)).count()
+    assert written == pages.num_rows
+
+    # re-submit with the same workdir: resumes from checkpoints, same answer
+    rc2 = main(["--input", str(pdir), "--workdir", str(wd)])
+    assert rc2 == 0
+    manifest2 = json.loads((wd / "run_manifest.json").read_text())
+    assert manifest2["total_records"] == pages.num_rows
+    assert manifest2["total_clusters"] == manifest["total_clusters"]
