@@ -204,3 +204,61 @@ def test_embedding_oversized_bucket_counted():
     got = counters.dropped_totals(reset=True)
     assert got.get("oversized_embedding_buckets", 0) >= 1
     assert got.get("oversized_embedding_rows", 0) >= n
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(ray_session):
+    """ngram_jaccard_pairs == brute-force rare-shingle jaccard (distinct
+    char k-grams with corpus df <= df_cap), and hot shingles are counted
+    into the dropped-work totals, not silently vanished."""
+    import itertools
+    from collections import Counter
+
+    from ny_campaign_finance_dedupe_ray.state import counters
+
+    k, cap, thr = 5, 3, 0.3
+    # "HOT! " prefix shingles appear in 5 docs (> cap) -> dropped + counted
+    texts = [
+        "HOT! the quick brown fox jumps over the lazy dog tonight",
+        "HOT! the quick brown fox jumps over the lazy dog tonite",
+        "HOT! completely different text about ray data pipelines",
+        "HOT! completely different text about ray data pipelines!",
+        "HOT! unrelated short doc",
+        "no prefix here, shares nothing with the others at all",
+    ]
+
+    def shingle_set(t):
+        return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+    raw = [shingle_set(t) for t in texts]
+    df = Counter(s for ss in raw for s in ss)
+    kept = [{s for s in ss if df[s] <= cap} for ss in raw]
+    expected = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        union = len(kept[i] | kept[j])
+        inter = len(kept[i] & kept[j])
+        if union and inter / union >= thr:
+            expected[(i, j)] = inter / union
+    assert expected, "fixture must produce at least one qualifying pair"
+
+    counters.enable_counters()
+    counters.dropped_totals(reset=True)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = D.ngram_jaccard_pairs(
+        ds, "text", id_column="doc_id", k=k, df_cap=cap, threshold=thr
+    ).to_pandas()
+    got = {
+        (int(r.id_a), int(r.id_b)): float(r.jaccard)
+        for r in out.itertuples()
+    }
+    assert set(got) == set(expected)
+    for pair, jac in expected.items():
+        assert abs(got[pair] - jac) < 1e-6, pair
+    dropped = counters.dropped_totals(reset=True)
+    assert dropped.get("jaccard_hot_shingles", 0) >= 1
