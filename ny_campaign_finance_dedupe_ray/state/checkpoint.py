@@ -98,9 +98,15 @@ class StageCheckpoint:
         missing or stale."""
         if self.is_valid(params, input_fingerprint):
             return self.read()
+        # clear half-written temp dirs from ANY earlier writer (a killed
+        # run leaves {dir}.tmp.<other-pid> behind; only the rename below is
+        # atomic, so unfinished temps are always safe to discard)
+        parent, base = os.path.split(self.dir)
+        os.makedirs(parent or ".", exist_ok=True)
+        for entry in os.listdir(parent or "."):
+            if entry.startswith(base + ".tmp."):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         tmp = self.dir + ".tmp.%d" % os.getpid()
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
         ds = factory()
         os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
