@@ -344,6 +344,15 @@ def _q_ann_ivf_topk(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_cosine_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.ann import cosine_similarity_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_similarity_pairs(emb, threshold=0.4)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -564,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_revenue": _q_part_type_revenue,
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "cosine_pairs": _q_cosine_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
         "media_probe": _q_media_probe,
@@ -745,6 +755,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN n nb ON nb.doc_id = p.id_b "
             "WHERE p.shared * 1.0 / (na.n + nb.n - p.shared) >= 0.5 "
             "ORDER BY p.id_a, p.id_b"
+        ),
+        "cosine_pairs": (
+            # exact all-pairs embedding cosine (stages/ann.
+            # cosine_similarity_pairs); CAST to DOUBLE[] so DuckDB computes
+            # in float64 like the numpy side (embeddings are list<float32>)
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+            "ORDER BY id_a, id_b"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "

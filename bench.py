@@ -162,6 +162,7 @@ QUERY_NAMES = [
     "event_type_counts",
     "gazette_top_orders",
     "ann_topk",
+    "cosine_pairs",
     "embedding_neardup",
     "tumbling_window",
     "session_window",

@@ -255,3 +255,78 @@ def ivf_topk(
             for r in top:
                 rows.append((query_ids[qi], r.vec_id, r.cosine))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+
+
+def cosine_similarity_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.4,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    max_index_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs cosine >= threshold — the deterministic baseline for
+    ``dedup.embedding_neardup_pairs`` (hyperplane-LSH, probabilistic
+    recall), same split as brute_force_topk vs lsh_topk.
+
+    The corpus (ids, unit-normalized matrix) is collected ONCE on the
+    driver — hard-capped at ``max_index_rows`` (default
+    index_predicates.MAX_INDEX_ROWS), raising ``IndexSideTooLarge`` beyond;
+    the corpus-scale answer is the LSH path — and broadcast via
+    ``ray.put``.  Each map_batches task scores its block against the
+    broadcast matrix with BLAS matmuls over bounded column chunks (peak
+    extra memory ~ batch x 8192 x 8 B) and emits only (id_a < id_b,
+    cosine >= threshold) rows, so every pair is emitted exactly once with
+    no shuffle at all.  Output: (id_a, id_b, cosine) rounded to 6.
+    """
+    from .index_predicates import MAX_INDEX_ROWS, IndexSideTooLarge
+
+    cap = MAX_INDEX_ROWS if max_index_rows is None else max_index_rows
+    n = ds.count()
+    if n > cap:
+        raise IndexSideTooLarge(
+            f"cosine_similarity_pairs collects the corpus matrix on the "
+            f"driver ({n} rows > cap {cap}); use "
+            f"dedup.embedding_neardup_pairs for corpus-scale inputs"
+        )
+    slim = ds.select_columns([id_column, embedding_column])
+    tbl = pa.concat_tables(
+        ray.get(slim.to_arrow_refs()), promote_options="default"
+    )
+    all_ids = tbl.column(id_column).to_numpy(zero_copy_only=False)
+    M = _unit(_to_matrix(tbl.column(embedding_column)))
+    ref = ray.put((all_ids, M))
+
+    def score_block(t: pa.Table) -> pa.Table:
+        ids_all, Mu = ray.get(ref)
+        V = _unit(_to_matrix(t.column(embedding_column)))
+        bids = t.column(id_column).to_numpy(zero_copy_only=False)
+        out_a, out_b, out_s = [], [], []
+        chunk = 8192
+        for c0 in range(0, Mu.shape[0], chunk):
+            S = V @ Mu[c0: c0 + chunk].T
+            bi, mj = np.nonzero(S >= threshold)
+            if not len(bi):
+                continue
+            ia = bids[bi]
+            ib = ids_all[c0 + mj]
+            keep = ia < ib
+            out_a.append(ia[keep])
+            out_b.append(ib[keep])
+            out_s.append(S[bi, mj][keep])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.from_numpy_dtype(bids.dtype)),
+                    "id_b": pa.array([], pa.from_numpy_dtype(bids.dtype)),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "cosine": pa.array(np.round(np.concatenate(out_s), 6)),
+            }
+        )
+
+    return slim.map_batches(score_block, batch_format="pyarrow")

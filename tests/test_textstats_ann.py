@@ -451,3 +451,40 @@ def test_container_parsers_never_crash_on_garbage():
                         pass
 
     mutated()
+
+
+def test_cosine_pairs_exact_and_capped(ray_session):
+    """cosine_similarity_pairs == brute-force numpy all-pairs; the driver
+    collect refuses above max_index_rows instead of silently OOMing."""
+    import numpy as np
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.ann import cosine_similarity_pairs
+    from ny_campaign_finance_dedupe_ray.stages.index_predicates import (
+        IndexSideTooLarge,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim))
+    vecs[10] = vecs[4] + 0.01 * rng.normal(size=dim)  # one near-dup pair
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    thr = 0.6
+    out = cosine_similarity_pairs(
+        rd.from_arrow(t).repartition(5), threshold=thr
+    ).to_pandas()
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = u @ u.T
+    exp = {
+        (i, j): S[i, j]
+        for i in range(n) for j in range(i + 1, n) if S[i, j] >= thr
+    }
+    got = {(int(r.id_a), int(r.id_b)): float(r.cosine) for r in out.itertuples()}
+    assert set(got) == set(exp) and (4, 10) in got
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
+
+    with pytest.raises(IndexSideTooLarge):
+        cosine_similarity_pairs(rd.from_arrow(t), max_index_rows=10)
