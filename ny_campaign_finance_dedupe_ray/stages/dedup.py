@@ -644,9 +644,12 @@ def simhash_neardup_pairs(
         # elementwise hamming over the carried signatures
         p = _pairs_in_bucket(g, max_block_size=500)
         if p.empty:
+            # typed empties: object-dtype zero-row Series trip Ray's
+            # block-size estimator and pollute the union schema
+            idt = g["record_id"].dtype
             return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=object),
-                 "id_b": pd.Series([], dtype=object),
+                {"id_a": pd.Series([], dtype=idt),
+                 "id_b": pd.Series([], dtype=idt),
                  "hamming": pd.Series([], dtype="int64")}
             )
         ham = H.hamming64(
@@ -782,9 +785,11 @@ def embedding_neardup_pairs(
                     )
                 )
         if not outs:
+            # typed empties — see verify_hamming above
+            idt = g["id"].dtype
             return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=object),
-                 "id_b": pd.Series([], dtype=object),
+                {"id_a": pd.Series([], dtype=idt),
+                 "id_b": pd.Series([], dtype=idt),
                  "cosine": pd.Series([], dtype="float64")}
             )
         return pd.concat(outs, ignore_index=True)

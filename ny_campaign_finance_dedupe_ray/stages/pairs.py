@@ -54,6 +54,22 @@ def _hash_block_key(t: pa.Table, n_buckets: int) -> pa.Table:
     )
 
 
+def _empty_pairs(g: pd.DataFrame, payload: list[str]) -> pd.DataFrame:
+    """Typed empty pair frame inheriting the input dtypes: empty
+    object-dtype Series trip Ray's block-size estimator (np.vectorize on
+    size-0 input logs an error per column) and pollute the union's block
+    schema — keep the ids/payload dtypes the non-empty buckets will have."""
+    idt = g["record_id"].dtype
+    data = {
+        "id_a": pd.Series([], dtype=idt),
+        "id_b": pd.Series([], dtype=idt),
+    }
+    for c in payload:
+        for s in ("_a", "_b"):
+            data[c + s] = pd.Series([], dtype=g[c].dtype)
+    return pd.DataFrame(data)
+
+
 def _pairs_in_bucket(g: pd.DataFrame, max_block_size: int | None) -> pd.DataFrame:
     """All rows of one key-hash bucket -> within-block pairs, fully
     vectorized: one numpy pass per distinct group SIZE (<= cap sizes), no
@@ -71,7 +87,7 @@ def _pairs_in_bucket(g: pd.DataFrame, max_block_size: int | None) -> pd.DataFram
     g = g.sort_values(["block_key", "record_id"], kind="mergesort")
     keys = g["block_key"].to_numpy()
     if len(keys) == 0:
-        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return _empty_pairs(g, payload)
     _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
     valid = counts >= 2
     if max_block_size is not None:
@@ -90,7 +106,7 @@ def _pairs_in_bucket(g: pd.DataFrame, max_block_size: int | None) -> pd.DataFram
         ia_parts.append((st[:, None] + la[None, :]).ravel())
         ib_parts.append((st[:, None] + lb[None, :]).ravel())
     if not ia_parts:
-        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return _empty_pairs(g, payload)
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
     rid = g["record_id"].to_numpy()
@@ -264,7 +280,7 @@ def _link_pairs_in_bucket(
     g = g.sort_values(["block_key", "side", "record_id"], kind="mergesort")
     keys = g["block_key"].to_numpy()
     if len(keys) == 0:
-        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return _empty_pairs(g, payload)
     _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
     is_a = g["side"].to_numpy() == "a"
     csum = np.concatenate([[0], np.cumsum(is_a)])
@@ -291,7 +307,7 @@ def _link_pairs_in_bucket(
             ia_parts.append((s[:, None] + la[None, :]).ravel())
             ib_parts.append((s[:, None] + lb[None, :]).ravel())
     if not ia_parts:
-        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return _empty_pairs(g, payload)
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
     rid = g["record_id"].to_numpy()
