@@ -471,6 +471,45 @@ def _q_hopping_window(sf_dir: str):
     return hopping_window(events, window_seconds=3600, slide_seconds=1800)
 
 
+def _q_user_span_events(sf_dir: str):
+    """Range (interval-containment) join through the driver contract: per
+    user, how many events (any user's) fall inside that user's
+    [min(ts), max(ts)] activity span."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    spans = events.groupby("user_id").aggregate(Min("ts"), Max("ts"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "span_user": t.column("user_id"),
+                "lo": t.column("min(ts)"),
+                "hi": t.column("max(ts)"),
+            }
+        )
+
+    spans = spans.map_batches(rename, batch_format="pyarrow")
+    joined = range_join(
+        events.select_columns(["ts"]), spans, "ts", "lo", "hi", n_tiles=64
+    )
+    out = joined.groupby("span_user").aggregate(Count())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "span_user": t.column("span_user"),
+                "n_events": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_prev_value(sf_dir: str):
     """As-of join through the driver contract: each event picks the latest
     strictly-earlier event's value for the same user (right side deduped to
@@ -549,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "session_window": _q_session_window,
         "events_prev_value": _q_events_prev_value,
+        "user_span_events": _q_user_span_events,
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
         "canonical_reps": _q_canonical_reps,
@@ -629,6 +669,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(e) AS BIGINT) AS start_epoch, "
             "CAST(MAX(e) AS BIGINT) AS end_epoch "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "user_span_events": (
+            # interval-containment join (stages/joins.range_join): events
+            # inside each user's [min ts, max ts] span, BETWEEN inclusive
+            "WITH spans AS (SELECT user_id AS span_user, min(ts) AS lo, "
+            "max(ts) AS hi FROM events GROUP BY 1) "
+            "SELECT s.span_user, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM spans s JOIN events e ON e.ts BETWEEN s.lo AND s.hi "
+            "GROUP BY s.span_user ORDER BY s.span_user"
         ),
         "events_prev_value": (
             "WITH r AS (SELECT user_id, ts, MAX(value) AS v FROM events "

@@ -168,6 +168,7 @@ QUERY_NAMES = [
     "session_window",
     "hopping_window",
     "customer_order_coalesce",
+    "user_span_events",
     "tfidf_pairs",
     "jaccard_pairs",
     "media_features",

@@ -246,3 +246,165 @@ def asof_join(
         return out[out_cols]
 
     return unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    n_tiles: int = 64,
+    domain: tuple | None = None,
+) -> "ray.data.Dataset":
+    """Interval-containment join — the third operator Ray Data lacks
+    natively (with as-of and windowed aggregates): every left row paired
+    with every right interval where ``lo <= value <= hi`` (SQL BETWEEN;
+    null values/bounds never match).
+
+    Physical shape: the value domain (min/max of the left values, or an
+    explicit ``domain``) is split into ``n_tiles`` tiles.  A left row
+    lands in exactly ONE tile; a right interval is replicated to every
+    tile it overlaps, so each match is found exactly once (in the left
+    row's tile) with no pair dedup.  Per tile the kernel sorts left
+    values once and turns every interval into a CONTIGUOUS index range
+    via two searchsorted calls — O((L+R)·log L + output) per tile, no
+    L×R materialization, no per-interval Python loop.
+
+    The scale knob is interval replication: an interval spanning the
+    whole domain costs n_tiles copies (span/tile_width + 1 in general).
+    Size n_tiles to ~2-4x cores for parallelism; wide-interval workloads
+    want coarser tiles.
+
+    Output: left columns + right columns (name collisions raise).
+    """
+    l_schema, r_schema = left.schema(), right.schema()
+
+    def _pa_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()
+
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+
+    def _num(col) -> np.ndarray:
+        """Numeric view for tiling/sorting: temporal -> int64 epoch units,
+        numbers -> float64 (NaN for nulls)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_temporal(col.type):
+            a = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return a.astype(np.float64)
+        return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+    if domain is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = left.aggregate(Min(value_col), Max(value_col))
+        d_lo, d_hi = agg[f"min({value_col})"], agg[f"max({value_col})"]
+        arr = _num(pa.array([d_lo, d_hi]))
+        d_lo, d_hi = float(arr[0]), float(arr[1])
+    else:
+        d_lo, d_hi = float(domain[0]), float(domain[1])
+    width = max((d_hi - d_lo) / n_tiles, 1e-300)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        v = _num(t.column(value_col))
+        keep = ~np.isnan(v)
+        t = t.filter(pa.array(keep))
+        v = v[keep]
+        tile = np.clip(((v - d_lo) // width).astype(np.int64), 0, n_tiles - 1)
+        cols = {"_side": pa.array(["l"] * t.num_rows), "_tile": pa.array(tile),
+                "_v": pa.array(v), "_lo": pa.nulls(t.num_rows, pa.float64()),
+                "_hi": pa.nulls(t.num_rows, pa.float64())}
+        for c in l_cols:
+            cols[c] = t.column(c)
+        for c in r_cols:
+            cols[c] = pa.nulls(t.num_rows, type=r_types[c])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        lo = _num(t.column(lo_col))
+        hi = _num(t.column(hi_col))
+        keep = ~np.isnan(lo) & ~np.isnan(hi) & (lo <= hi)
+        t = t.filter(pa.array(keep))
+        lo, hi = lo[keep], hi[keep]
+        t0 = np.clip(((lo - d_lo) // width).astype(np.int64), 0, n_tiles - 1)
+        t1 = np.clip(((hi - d_lo) // width).astype(np.int64), 0, n_tiles - 1)
+        counts = t1 - t0 + 1
+        from ..functions.hashing import _ranges
+
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        tile = np.repeat(t0, counts) + _ranges(counts)
+        rep = t.take(pa.array(idx))
+        cols = {"_side": pa.array(["r"] * rep.num_rows),
+                "_tile": pa.array(tile),
+                "_v": pa.nulls(rep.num_rows, pa.float64()),
+                "_lo": pa.array(lo[idx]), "_hi": pa.array(hi[idx])}
+        for c in l_cols:
+            cols[c] = pa.nulls(rep.num_rows, type=l_types[c])
+        for c in r_cols:
+            cols[c] = rep.column(c)
+        return pa.table(cols)
+
+    ordered = ["_side", "_tile", "_v", "_lo", "_hi", *l_cols, *r_cols]
+
+    def reorder(t: pa.Table) -> pa.Table:
+        return t.select(ordered)
+
+    unioned = (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .map_batches(reorder, batch_format="pyarrow")
+        .union(
+            right.map_batches(tag_right, batch_format="pyarrow")
+            .map_batches(reorder, batch_format="pyarrow")
+        )
+    )
+    out_cols = [*l_cols, *r_cols]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import _ranges
+
+        lt = g[g["_side"] == "l"]
+        rt = g[g["_side"] == "r"]
+        if lt.empty or rt.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in out_cols}
+            )
+        v = lt["_v"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        starts = np.searchsorted(vs, rt["_lo"].to_numpy(), side="left")
+        ends = np.searchsorted(vs, rt["_hi"].to_numpy(), side="right")
+        counts = np.maximum(ends - starts, 0)
+        ridx = np.repeat(np.arange(len(rt), dtype=np.int64), counts)
+        lidx = order[np.repeat(starts, counts) + _ranges(counts)]
+        out = {}
+        for c in l_cols:
+            out[c] = lt[c].to_numpy()[lidx]
+        for c in r_cols:
+            out[c] = rt[c].to_numpy()[ridx]
+        return pd.DataFrame(out)
+
+    merged = unioned.groupby("_tile").map_groups(merge, batch_format="pandas")
+
+    def cast_back(t: pa.Table) -> pa.Table:
+        types = {**l_types, **r_types}
+        cols = {}
+        for c in out_cols:
+            col = t.column(c)
+            if col.type != types[c]:
+                col = col.cast(types[c])
+            cols[c] = col
+        return pa.table(cols)
+
+    return merged.map_batches(cast_back, batch_format="pyarrow")

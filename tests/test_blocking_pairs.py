@@ -319,3 +319,32 @@ def test_host_key_vectorized_matches_urlparse():
         if netloc:
             want[u] = netloc
     assert got == want, (got, want)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """range_join == brute-force BETWEEN filter: exactly-once matches (a
+    left row's tile finds each containing interval once), no dups."""
+    import numpy as np
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(1)
+    L = pa.table({
+        "x": pa.array(rng.uniform(0, 100, 400)),
+        "lid": pa.array(range(400), pa.int64()),
+    })
+    lo = rng.uniform(0, 90, 30)
+    R = pa.table({
+        "lo": pa.array(lo),
+        "hi": pa.array(lo + rng.uniform(0, 25, 30)),
+        "rid": pa.array(range(30), pa.int64()),
+    })
+    out = range_join(
+        rd.from_arrow(L).repartition(5), rd.from_arrow(R).repartition(3),
+        "x", "lo", "hi", n_tiles=16,
+    ).to_pandas()
+    l, r = L.to_pandas(), R.to_pandas()
+    exp = l.assign(k=1).merge(r.assign(k=1), on="k").query("lo <= x <= hi")
+    es = set(zip(exp["lid"], exp["rid"]))
+    gs = list(zip(out["lid"], out["rid"]))
+    assert set(gs) == es and len(gs) == len(es)  # exact, at-most-once
