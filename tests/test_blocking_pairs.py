@@ -348,3 +348,38 @@ def test_range_join_matches_bruteforce(ray_session):
     es = set(zip(exp["lid"], exp["rid"]))
     gs = list(zip(out["lid"], out["rid"]))
     assert set(gs) == es and len(gs) == len(es)  # exact, at-most-once
+
+
+def test_range_join_boundaries(ray_session):
+    """BETWEEN is inclusive at both ends; point intervals (lo == hi) match
+    exact values; a degenerate all-equal domain must not divide by zero."""
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join
+
+    L = pa.table({
+        "x": pa.array([1.0, 5.0, 5.0, 9.0, None]),
+        "lid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    R = pa.table({
+        "lo": pa.array([5.0, 1.0, 9.0, None]),
+        "hi": pa.array([5.0, 9.0, 9.0, 9.0]),
+        "rid": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    out = range_join(
+        rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi", n_tiles=4
+    ).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    # rid0 = [5,5] point: matches both 5.0 rows; rid1 = [1,9]: everything
+    # non-null; rid2 = [9,9]: matches 9.0; rid3 null lo: matches nothing
+    assert got == [(0, 1), (1, 0), (1, 1), (2, 0), (2, 1), (3, 1), (3, 2)]
+
+    # all-equal domain: width guard, single tile takes everything
+    L2 = pa.table({"x": pa.array([3.0, 3.0]), "lid": pa.array([0, 1], pa.int64())})
+    R2 = pa.table({
+        "lo": pa.array([3.0]), "hi": pa.array([3.0]),
+        "rid": pa.array([0], pa.int64()),
+    })
+    out2 = range_join(
+        rd.from_arrow(L2), rd.from_arrow(R2), "x", "lo", "hi", n_tiles=8
+    ).to_pandas()
+    assert sorted(zip(out2["lid"], out2["rid"])) == [(0, 0), (1, 0)]
