@@ -453,7 +453,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise UnsupportedJpeg("non-8-bit precision")
-            if fh == 0 or fw == 0 or len(seg) < 6 + 3 * nc:
+            if fh == 0 or fw == 0 or nc == 0 or len(seg) < 6 + 3 * nc:
                 raise UnsupportedJpeg("corrupt SOF")
             # decompression-bomb guard: a 2-byte corrupt dim field can claim
             # 65535x65535 (~4G pixels -> tens of GB of plane buffers and ~67M
@@ -481,7 +481,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise UnsupportedJpeg("truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
-            if not seg or len(seg) < 1 + 2 * seg[0]:
+            if not seg or seg[0] == 0 or len(seg) < 1 + 2 * seg[0]:
+                # ns == 0 would reach max() over empty comps in the scan —
+                # a bare ValueError, not UnsupportedJpeg — crash, not route
                 raise UnsupportedJpeg("truncated SOS")
             ns = seg[0]
             scomps = []

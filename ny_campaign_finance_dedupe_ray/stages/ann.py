@@ -281,22 +281,35 @@ def cosine_similarity_pairs(
     from .index_predicates import MAX_INDEX_ROWS, IndexSideTooLarge
 
     cap = MAX_INDEX_ROWS if max_index_rows is None else max_index_rows
-    n = ds.count()
+    # ONE upstream execution: materialize block refs, count rows remotely
+    # (tiny ints to the driver, blocks stay in the object store), and only
+    # concat to the driver once the cap check passed; the scoring pass
+    # then maps over the already-materialized blocks
+    slim = ds.select_columns([id_column, embedding_column])
+    refs = slim.to_arrow_refs()
+    _nrows = ray.remote(num_cpus=0)(lambda t: t.num_rows)
+    n = sum(ray.get([_nrows.remote(r) for r in refs]))
     if n > cap:
         raise IndexSideTooLarge(
             f"cosine_similarity_pairs collects the corpus matrix on the "
             f"driver ({n} rows > cap {cap}); use "
             f"dedup.embedding_neardup_pairs for corpus-scale inputs"
         )
-    slim = ds.select_columns([id_column, embedding_column])
-    tbl = pa.concat_tables(
-        ray.get(slim.to_arrow_refs()), promote_options="default"
-    )
+    tbl = pa.concat_tables(ray.get(refs), promote_options="default")
     all_ids = tbl.column(id_column).to_numpy(zero_copy_only=False)
+    id_type = tbl.schema.field(id_column).type
     M = _unit(_to_matrix(tbl.column(embedding_column)))
     ref = ray.put((all_ids, M))
 
     def score_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids_all, Mu = ray.get(ref)
         V = _unit(_to_matrix(t.column(embedding_column)))
         bids = t.column(id_column).to_numpy(zero_copy_only=False)
@@ -316,17 +329,19 @@ def cosine_similarity_pairs(
         if not out_a:
             return pa.table(
                 {
-                    "id_a": pa.array([], pa.from_numpy_dtype(bids.dtype)),
-                    "id_b": pa.array([], pa.from_numpy_dtype(bids.dtype)),
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
                     "cosine": pa.array([], pa.float64()),
                 }
             )
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(out_a)),
-                "id_b": pa.array(np.concatenate(out_b)),
+                "id_a": pa.array(np.concatenate(out_a)).cast(id_type),
+                "id_b": pa.array(np.concatenate(out_b)).cast(id_type),
                 "cosine": pa.array(np.round(np.concatenate(out_s), 6)),
             }
         )
 
-    return slim.map_batches(score_block, batch_format="pyarrow")
+    return ray.data.from_arrow_refs(refs).map_batches(
+        score_block, batch_format="pyarrow"
+    )

@@ -156,16 +156,7 @@ def lsh_candidate_pairs(
 
     # global pair dedup, bucketed on the pair key
     def add_pair_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        a = t.column("id_a").cast(pa.string())
-        b = t.column("id_b").cast(pa.string())
-        pk = pc.binary_join_element_wise(a, b, "\x1f")
-        h = H.hash64_str(pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk)
-        t = t.append_column("pair_key", pk)
-        return t.append_column(
-            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
-        )
+        return _pair_bucket_table(t, n_buckets, "bucket", keep_key=True)
 
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
@@ -174,6 +165,32 @@ def lsh_candidate_pairs(
             lambda g: g.drop_duplicates("pair_key").drop(columns=["bucket", "pair_key"]),
             batch_format="pandas",
         )
+    )
+
+
+
+def _pair_bucket_table(
+    t: pa.Table, n_buckets: int, bucket_col: str = "bucket",
+    keep_key: bool = False,
+) -> pa.Table:
+    """Append hash(id_a \x1f id_b) % n_buckets as ``bucket_col`` (plus the
+    pair key itself when ``keep_key``) — the ONE definition of the
+    pair-dedup shuffle key shared by every near-dup path, so the
+    separator/hash/bucketing contract cannot silently drift between them."""
+    import pyarrow.compute as pc
+
+    pk = pc.binary_join_element_wise(
+        t.column("id_a").cast(pa.string()),
+        t.column("id_b").cast(pa.string()),
+        "\x1f",
+    )
+    if isinstance(pk, pa.ChunkedArray):
+        pk = pk.combine_chunks()
+    h = H.hash64_str(pk)
+    if keep_key:
+        t = t.append_column("pair_key", pk)
+    return t.append_column(
+        bucket_col, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
     )
 
 
@@ -399,19 +416,7 @@ def ngram_jaccard_pairs(
     )
 
     def pair_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        pk = pc.binary_join_element_wise(
-            t.column("id_a").cast(pa.string()),
-            t.column("id_b").cast(pa.string()),
-            "\x1f",
-        )
-        if isinstance(pk, pa.ChunkedArray):
-            pk = pk.combine_chunks()
-        h = H.hash64_str(pk)
-        return t.append_column(
-            "pbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
-        )
+        return _pair_bucket_table(t, n_buckets, "pbucket")
 
     # exchange 4 (by pair bucket): shared = row count per pair; the filter
     # runs on the unrounded ratio (the oracle's WHERE), rounding only the
@@ -675,16 +680,7 @@ def simhash_neardup_pairs(
     # cross-bucket duplicates (same pair via two chunk tables in different
     # buckets) — final dedup pass
     def pair_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        pk = pc.binary_join_element_wise(
-            t.column("id_a").cast(pa.string()),
-            t.column("id_b").cast(pa.string()),
-            "\x1f",
-        )
-        h = H.hash64_str(pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk)
-        t = t.append_column("pair_key", pk)
-        return t.append_column("bucket2", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return _pair_bucket_table(t, 64, "bucket2", keep_key=True)
 
     return (
         pairs.map_batches(pair_bucket, batch_format="pyarrow")
@@ -816,15 +812,7 @@ def embedding_neardup_pairs(
         return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["bucket2"])
 
     def pair_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        pk = pc.binary_join_element_wise(
-            t.column("id_a").cast(pa.string()),
-            t.column("id_b").cast(pa.string()),
-            "\x1f",
-        )
-        h = H.hash64_str(pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk)
-        return t.append_column("bucket2", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return _pair_bucket_table(t, 64, "bucket2")
 
     return (
         pairs.map_batches(pair_bucket, batch_format="pyarrow")

@@ -276,6 +276,15 @@ def range_join(
     Size n_tiles to ~2-4x cores for parallelism; wide-interval workloads
     want coarser tiles.
 
+    Numerics: when value/lo/hi are all temporal or integer the whole
+    join (tiling AND containment) runs in exact int64 arithmetic — a
+    timestamp[ns] key never rounds through float64; mixed/float keys use
+    float64.  Other-side placeholder columns are zero-filled (not null)
+    for integer/temporal types so pandas keeps their exact dtype through
+    the tile groupby (a null-smeared int64 becomes float64 and corrupts
+    values above 2^53); genuine nulls in the INPUT's own integer columns
+    still take the float64 round-trip and are restored to null.
+
     Output: left columns + right columns (name collisions raise).
     """
     l_schema, r_schema = left.schema(), right.schema()
@@ -296,62 +305,112 @@ def range_join(
     if overlap:
         raise ValueError(f"column collision: {sorted(overlap)}")
 
-    def _num(col) -> np.ndarray:
-        """Numeric view for tiling/sorting: temporal -> int64 epoch units,
-        numbers -> float64 (NaN for nulls)."""
+    def _intlike(t: pa.DataType) -> bool:
+        return pa.types.is_temporal(t) or pa.types.is_integer(t)
+
+    int_mode = all(
+        _intlike(typ)
+        for typ in (l_types[value_col], r_types[lo_col], r_types[hi_col])
+    )
+    num_dtype = np.int64 if int_mode else np.float64
+
+    def _num(col) -> tuple[np.ndarray, np.ndarray]:
+        """(values in the join's numeric dtype, valid mask) — exact int64
+        for temporal/integer keys in int_mode, float64 otherwise."""
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        if int_mode:
+            v = (
+                col.cast(pa.int64())
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return v, valid
         if pa.types.is_temporal(col.type):
-            a = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            return a.astype(np.float64)
-        return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            col = col.cast(pa.int64())
+        v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return v.astype(np.float64), valid & ~np.isnan(
+            v.astype(np.float64)
+        )
 
     if domain is None:
         from ray.data.aggregate import Max, Min
 
         agg = left.aggregate(Min(value_col), Max(value_col))
-        d_lo, d_hi = agg[f"min({value_col})"], agg[f"max({value_col})"]
-        arr = _num(pa.array([d_lo, d_hi]))
-        d_lo, d_hi = float(arr[0]), float(arr[1])
+        vals = (
+            None
+            if agg is None
+            else (agg.get(f"min({value_col})"), agg.get(f"max({value_col})"))
+        )
+        if vals is None or vals[0] is None or vals[1] is None:
+            # empty (or all-null) left side: any domain works, no matches
+            d_lo, d_hi = num_dtype(0), num_dtype(1)
+        else:
+            dom = pa.array(list(vals))
+            if dom.type != l_types[value_col]:
+                # pa.array infers ns-resolution for Timestamp scalars; the
+                # epoch UNIT must match the column's own int64 view
+                dom = dom.cast(l_types[value_col])
+            arr, _ = _num(dom)
+            d_lo, d_hi = arr[0], arr[1]
     else:
-        d_lo, d_hi = float(domain[0]), float(domain[1])
-    width = max((d_hi - d_lo) / n_tiles, 1e-300)
+        d_lo, d_hi = num_dtype(domain[0]), num_dtype(domain[1])
+    if int_mode:
+        width = max((int(d_hi) - int(d_lo)) // n_tiles, 1)
+    else:
+        width = max((float(d_hi) - float(d_lo)) / n_tiles, 1e-300)
+
+    def _placeholder(n: int, typ: pa.DataType):
+        # zero-fill int/temporal placeholders so pandas keeps the exact
+        # dtype (these rows belong to the other side and are never read)
+        if _intlike(typ):
+            return pc.fill_null(pa.nulls(n, typ), pa.scalar(0).cast(typ))
+        return pa.nulls(n, typ)
 
     def tag_left(t: pa.Table) -> pa.Table:
-        v = _num(t.column(value_col))
-        keep = ~np.isnan(v)
-        t = t.filter(pa.array(keep))
-        v = v[keep]
-        tile = np.clip(((v - d_lo) // width).astype(np.int64), 0, n_tiles - 1)
-        cols = {"_side": pa.array(["l"] * t.num_rows), "_tile": pa.array(tile),
-                "_v": pa.array(v), "_lo": pa.nulls(t.num_rows, pa.float64()),
-                "_hi": pa.nulls(t.num_rows, pa.float64())}
+        v, valid = _num(t.column(value_col))
+        t = t.filter(pa.array(valid))
+        v = v[valid]
+        tile = np.clip((v - d_lo) // width, 0, n_tiles - 1).astype(np.int64)
+        zeros = np.zeros(t.num_rows, dtype=num_dtype)
+        cols = {
+            "_side": pa.array(["l"] * t.num_rows, pa.string()),
+            "_tile": pa.array(tile),
+            "_v": pa.array(v),
+            "_lo": pa.array(zeros),
+            "_hi": pa.array(zeros),
+        }
         for c in l_cols:
             cols[c] = t.column(c)
         for c in r_cols:
-            cols[c] = pa.nulls(t.num_rows, type=r_types[c])
+            cols[c] = _placeholder(t.num_rows, r_types[c])
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        lo = _num(t.column(lo_col))
-        hi = _num(t.column(hi_col))
-        keep = ~np.isnan(lo) & ~np.isnan(hi) & (lo <= hi)
+        lo, lo_ok = _num(t.column(lo_col))
+        hi, hi_ok = _num(t.column(hi_col))
+        keep = lo_ok & hi_ok & (lo <= hi)
         t = t.filter(pa.array(keep))
         lo, hi = lo[keep], hi[keep]
-        t0 = np.clip(((lo - d_lo) // width).astype(np.int64), 0, n_tiles - 1)
-        t1 = np.clip(((hi - d_lo) // width).astype(np.int64), 0, n_tiles - 1)
+        t0 = np.clip((lo - d_lo) // width, 0, n_tiles - 1).astype(np.int64)
+        t1 = np.clip((hi - d_lo) // width, 0, n_tiles - 1).astype(np.int64)
         counts = t1 - t0 + 1
         from ..functions.hashing import _ranges
 
         idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
         tile = np.repeat(t0, counts) + _ranges(counts)
         rep = t.take(pa.array(idx))
-        cols = {"_side": pa.array(["r"] * rep.num_rows),
-                "_tile": pa.array(tile),
-                "_v": pa.nulls(rep.num_rows, pa.float64()),
-                "_lo": pa.array(lo[idx]), "_hi": pa.array(hi[idx])}
+        cols = {
+            "_side": pa.array(["r"] * rep.num_rows, pa.string()),
+            "_tile": pa.array(tile),
+            "_v": pa.array(np.zeros(rep.num_rows, dtype=num_dtype)),
+            "_lo": pa.array(lo[idx]),
+            "_hi": pa.array(hi[idx]),
+        }
         for c in l_cols:
-            cols[c] = pa.nulls(rep.num_rows, type=l_types[c])
+            cols[c] = _placeholder(rep.num_rows, l_types[c])
         for c in r_cols:
             cols[c] = rep.column(c)
         return pa.table(cols)
@@ -403,6 +462,14 @@ def range_join(
         for c in out_cols:
             col = t.column(c)
             if col.type != types[c]:
+                if pa.types.is_floating(col.type) and _intlike(types[c]):
+                    # genuine input nulls took the pandas float round-trip
+                    # as NaN — restore null before the integer cast
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    col = pc.if_else(
+                        pc.is_nan(col), pa.scalar(None, col.type), col
+                    )
                 col = col.cast(types[c])
             cols[c] = col
         return pa.table(cols)

@@ -98,13 +98,23 @@ class StageCheckpoint:
         missing or stale."""
         if self.is_valid(params, input_fingerprint):
             return self.read()
-        # clear half-written temp dirs from ANY earlier writer (a killed
+        # clear half-written temp dirs from DEAD earlier writers (a killed
         # run leaves {dir}.tmp.<other-pid> behind; only the rename below is
-        # atomic, so unfinished temps are always safe to discard)
+        # atomic, so an unfinished temp is safe to discard — but only when
+        # its writer is gone: sweeping a LIVE concurrent writer's temp
+        # mid-write would let it persist a partial checkpoint as complete)
         parent, base = os.path.split(self.dir)
         os.makedirs(parent or ".", exist_ok=True)
         for entry in os.listdir(parent or "."):
-            if entry.startswith(base + ".tmp."):
+            if not entry.startswith(base + ".tmp."):
+                continue
+            pid_str = entry.rsplit(".", 1)[-1]
+            writer_alive = (
+                pid_str.isdigit()
+                and pid_str != str(os.getpid())
+                and os.path.exists(f"/proc/{pid_str}")
+            )
+            if not writer_alive:
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         tmp = self.dir + ".tmp.%d" % os.getpid()
         ds = factory()

@@ -383,3 +383,34 @@ def test_range_join_boundaries(ray_session):
         rd.from_arrow(L2), rd.from_arrow(R2), "x", "lo", "hi", n_tiles=8
     ).to_pandas()
     assert sorted(zip(out2["lid"], out2["rid"])) == [(0, 0), (1, 0)]
+
+
+def test_range_join_int64_exactness(ray_session):
+    """Temporal/integer keys join in exact int64 arithmetic (a ns timestamp
+    must not round through float64), big int64 payloads survive the pandas
+    round-trip exactly, and an empty left side with domain=None is fine."""
+    import numpy as np
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join
+
+    base = 1_700_000_000_000_000_000  # ns epoch, >2^53
+    ts = pa.array((base + np.arange(0, 50_000, 100)[:500]).astype("datetime64[ns]"))
+    big = 2 ** 53 + 12345  # float64 would collapse this to 2^53
+    lids = pa.array([big + i for i in range(500)], pa.int64())
+    L = pa.table({"ts": ts, "lid": lids})
+    R = pa.table({
+        "lo": pa.array(np.array([base + 150], dtype="datetime64[ns]")),
+        "hi": pa.array(np.array([base + 350], dtype="datetime64[ns]")),
+        "rid": pa.array([0], pa.int64()),
+    })
+    out = range_join(
+        rd.from_arrow(L).repartition(4), rd.from_arrow(R), "ts", "lo", "hi",
+        n_tiles=8,
+    ).to_pandas()
+    # 100ns spacing: exactly ts offsets 200 and 300 are inside [150, 350]
+    assert sorted(out["lid"].tolist()) == [big + 2, big + 3]
+
+    empty = pa.table({"ts": pa.array([], pa.timestamp("ns")),
+                      "lid": pa.array([], pa.int64())})
+    oe = range_join(rd.from_arrow(empty), rd.from_arrow(R), "ts", "lo", "hi")
+    assert oe.count() == 0
