@@ -283,7 +283,10 @@ def range_join(
     for integer/temporal types so pandas keeps their exact dtype through
     the tile groupby (a null-smeared int64 becomes float64 and corrupts
     values above 2^53); genuine nulls in the INPUT's own integer columns
-    still take the float64 round-trip and are restored to null.
+    still take the float64 round-trip and are restored to null — KNOWN
+    LIMIT: the non-null values of such a nulls-containing integer column
+    lose precision above 2^53 in that round-trip (use a null-free id
+    column, or a string id, for full-range 64-bit keys).
 
     Output: left columns + right columns (name collisions raise).
     """
@@ -308,8 +311,15 @@ def range_join(
     def _intlike(t: pa.DataType) -> bool:
         return pa.types.is_temporal(t) or pa.types.is_integer(t)
 
+    def _int64able(t: pa.DataType) -> bool:
+        # uint64 keys above 2^63 can't view as int64 — use the float path
+        return _intlike(t) and not (
+            pa.types.is_integer(t) and t.bit_width == 64
+            and not pa.types.is_signed_integer(t)
+        )
+
     int_mode = all(
-        _intlike(typ)
+        _int64able(typ)
         for typ in (l_types[value_col], r_types[lo_col], r_types[hi_col])
     )
     num_dtype = np.int64 if int_mode else np.float64
@@ -330,10 +340,11 @@ def range_join(
             return v, valid
         if pa.types.is_temporal(col.type):
             col = col.cast(pa.int64())
-        v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        return v.astype(np.float64), valid & ~np.isnan(
-            v.astype(np.float64)
+        v = np.asarray(
+            col.cast(pa.float64()).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
         )
+        return v, valid & ~np.isnan(v)
 
     if domain is None:
         from ray.data.aggregate import Max, Min
@@ -357,23 +368,33 @@ def range_join(
             d_lo, d_hi = arr[0], arr[1]
     else:
         d_lo, d_hi = num_dtype(domain[0]), num_dtype(domain[1])
-    if int_mode:
-        width = max((int(d_hi) - int(d_lo)) // n_tiles, 1)
-    else:
-        width = max((float(d_hi) - float(d_lo)) / n_tiles, 1e-300)
+    # Tiling always runs in float64 — int64 differences can WRAP for
+    # full-range domains (e.g. signed hash keys spanning > 2^62). Float
+    # tiling is still exactly correct: int64 -> float64 rounding and the
+    # (x - lo) / w pipeline are monotone non-decreasing, so lo <= v <= hi
+    # (compared exactly in int64 below) implies tile(lo) <= tile(v) <=
+    # tile(hi) and the match is always found in the left row's tile.
+    f_lo = float(d_lo)
+    f_width = max((float(d_hi) - f_lo) / n_tiles, 1e-300)
 
     def _placeholder(n: int, typ: pa.DataType):
         # zero-fill int/temporal placeholders so pandas keeps the exact
-        # dtype (these rows belong to the other side and are never read)
+        # dtype (these rows belong to the other side and are never read);
+        # types Arrow can't cast 0 into (date32/time32) fall back to nulls
         if _intlike(typ):
-            return pc.fill_null(pa.nulls(n, typ), pa.scalar(0).cast(typ))
+            try:
+                return pc.fill_null(pa.nulls(n, typ), pa.scalar(0).cast(typ))
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                return pa.nulls(n, typ)
         return pa.nulls(n, typ)
 
     def tag_left(t: pa.Table) -> pa.Table:
         v, valid = _num(t.column(value_col))
         t = t.filter(pa.array(valid))
         v = v[valid]
-        tile = np.clip((v - d_lo) // width, 0, n_tiles - 1).astype(np.int64)
+        tile = np.clip(
+            (v.astype(np.float64) - f_lo) // f_width, 0, n_tiles - 1
+        ).astype(np.int64)
         zeros = np.zeros(t.num_rows, dtype=num_dtype)
         cols = {
             "_side": pa.array(["l"] * t.num_rows, pa.string()),
@@ -394,9 +415,13 @@ def range_join(
         keep = lo_ok & hi_ok & (lo <= hi)
         t = t.filter(pa.array(keep))
         lo, hi = lo[keep], hi[keep]
-        t0 = np.clip((lo - d_lo) // width, 0, n_tiles - 1).astype(np.int64)
-        t1 = np.clip((hi - d_lo) // width, 0, n_tiles - 1).astype(np.int64)
-        counts = t1 - t0 + 1
+        t0 = np.clip(
+            (lo.astype(np.float64) - f_lo) // f_width, 0, n_tiles - 1
+        ).astype(np.int64)
+        t1 = np.clip(
+            (hi.astype(np.float64) - f_lo) // f_width, 0, n_tiles - 1
+        ).astype(np.int64)
+        counts = t1 - t0 + 1  # t1 >= t0 by monotonicity (lo <= hi)
         from ..functions.hashing import _ranges
 
         idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)

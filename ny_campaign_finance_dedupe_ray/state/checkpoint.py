@@ -109,11 +109,19 @@ class StageCheckpoint:
             if not entry.startswith(base + ".tmp."):
                 continue
             pid_str = entry.rsplit(".", 1)[-1]
-            writer_alive = (
-                pid_str.isdigit()
-                and pid_str != str(os.getpid())
-                and os.path.exists(f"/proc/{pid_str}")
-            )
+            writer_alive = False
+            if pid_str.isdigit() and pid_str != str(os.getpid()):
+                try:
+                    os.kill(int(pid_str), 0)  # signal 0: portable liveness
+                    writer_alive = True
+                except ProcessLookupError:
+                    writer_alive = False
+                except PermissionError:
+                    writer_alive = True  # exists, owned by someone else
+            # same-host assumption: pids are meaningless across machines, so
+            # a workdir shared over NFS should not run concurrent writers on
+            # different hosts (single-writer-per-workdir is the contract;
+            # the sweep only guards against DEAD local writers)
             if not writer_alive:
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         tmp = self.dir + ".tmp.%d" % os.getpid()

@@ -414,3 +414,39 @@ def test_range_join_int64_exactness(ray_session):
                       "lid": pa.array([], pa.int64())})
     oe = range_join(rd.from_arrow(empty), rd.from_arrow(R), "ts", "lo", "hi")
     assert oe.count() == 0
+
+
+def test_range_join_hostile_types(ray_session):
+    """date32 payload columns survive placeholder typing; a full-range
+    int64 key domain (signed hash keys) must not wrap in tile arithmetic."""
+    import datetime
+
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join
+
+    L = pa.table({
+        "x": pa.array([1.0, 5.0]),
+        "d": pa.array([datetime.date(2020, 1, 1)] * 2, pa.date32()),
+        "lid": pa.array([0, 1], pa.int64()),
+    })
+    R = pa.table({
+        "lo": pa.array([4.0]), "hi": pa.array([6.0]),
+        "rid": pa.array([7], pa.int64()),
+    })
+    o = range_join(rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+                   n_tiles=4).to_pandas()
+    assert o["lid"].tolist() == [1]
+    assert o["d"].tolist() == [datetime.date(2020, 1, 1)]
+
+    L2 = pa.table({
+        "x": pa.array([-2**63 + 5, 0, 2**63 - 100], pa.int64()),
+        "lid": pa.array([0, 1, 2], pa.int64()),
+    })
+    R2 = pa.table({
+        "lo": pa.array([0], pa.int64()),
+        "hi": pa.array([2**63 - 50], pa.int64()),
+        "rid": pa.array([7], pa.int64()),
+    })
+    o2 = range_join(rd.from_arrow(L2), rd.from_arrow(R2), "x", "lo", "hi",
+                    n_tiles=8).to_pandas()
+    assert sorted(o2["lid"].tolist()) == [1, 2]
