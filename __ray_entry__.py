@@ -471,6 +471,32 @@ def _q_hopping_window(sf_dir: str):
     return hopping_window(events, window_seconds=3600, slide_seconds=1800)
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles (histogram-refinement rank search, no
+    full sort) through the driver contract: median and p95 extended price
+    per return flag."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.quantiles import exact_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    out = exact_quantiles(
+        li, "l_extendedprice", [0.5, 0.95], by="l_returnflag",
+        collect_threshold=50_000,
+    )
+    wide = out.pivot(index="l_returnflag", columns="q", values="value")
+    return pd.DataFrame(
+        {
+            "l_returnflag": wide.index,
+            "p50": wide[0.5].round(6).to_numpy(),
+            "p95": wide[0.95].round(6).to_numpy(),
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _q_user_span_events(sf_dir: str):
     """Range (interval-containment) join through the driver contract: per
     user, how many events (any user's) fall inside that user's
@@ -589,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": _q_session_window,
         "events_prev_value": _q_events_prev_value,
         "user_span_events": _q_user_span_events,
+        "price_quantiles": _q_price_quantiles,
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
         "canonical_reps": _q_canonical_reps,
@@ -669,6 +696,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(e) AS BIGINT) AS start_epoch, "
             "CAST(MAX(e) AS BIGINT) AS end_epoch "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "price_quantiles": (
+            # exact interpolated quantiles (stages/quantiles.exact_quantiles
+            # == quantile_cont semantics: rank (n-1)q, linear interpolation)
+            "SELECT l_returnflag, "
+            "ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+            "ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95 "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "user_span_events": (
             # interval-containment join (stages/joins.range_join): events

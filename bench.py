@@ -169,6 +169,7 @@ QUERY_NAMES = [
     "hopping_window",
     "customer_order_coalesce",
     "user_span_events",
+    "price_quantiles",
     "tfidf_pairs",
     "jaccard_pairs",
     "media_features",

@@ -427,3 +427,34 @@ def test_gazetteer_large_index_routes_distributed():
     g.index(recs("c", ["zed zeta"]))  # re-index c0 with a new name
     out3 = g.match(recs("m", ["zed zeta"]), threshold=0.5).to_pandas()
     assert list(out3["id_b"]) == ["c0"]
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    """Histogram-refinement quantiles == numpy 'linear' (quantile_cont)
+    bit-exactly, grouped and global, with NaNs/nulls excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(100, 25, 20_000)
+    g = rng.choice(["A", "B"], 20_000)
+    t = pa.table({"x": pa.array(v), "grp": pa.array(g)})
+    out = exact_quantiles(
+        rd.from_arrow(t).repartition(6), "x", [0.5, 0.9], by="grp",
+        collect_threshold=500,
+    )
+    df = pd.DataFrame({"x": v, "grp": g})
+    assert len(out) == 4
+    for _, row in out.iterrows():
+        exp = np.quantile(
+            df[df.grp == row["grp"]]["x"], row["q"], method="linear"
+        )
+        assert abs(row["value"] - exp) < 1e-9, (row["grp"], row["q"])
+
+    v2 = np.where(rng.random(5_000) < 0.2, np.nan, rng.uniform(0, 1, 5_000))
+    o2 = exact_quantiles(rd.from_arrow(pa.table({"x": pa.array(v2)})), "x", [0.25])
+    assert abs(o2["value"][0] - np.nanquantile(v2, 0.25, method="linear")) < 1e-9
