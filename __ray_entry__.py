@@ -471,6 +471,31 @@ def _q_hopping_window(sf_dir: str):
     return hopping_window(events, window_seconds=3600, slide_seconds=1800)
 
 
+def _q_distinct_users(sf_dir: str):
+    """Exact per-key COUNT DISTINCT through the driver contract: distinct
+    users per event type (local combiner -> bucketed global dedup ->
+    partial-count sum)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.stats import distinct_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = distinct_count(events, "event_type", "user_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_users": t.column("n_distinct").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_price_quantiles(sf_dir: str):
     """Exact distributed quantiles (histogram-refinement rank search, no
     full sort) through the driver contract: median and p95 extended price
@@ -616,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_value": _q_events_prev_value,
         "user_span_events": _q_user_span_events,
         "price_quantiles": _q_price_quantiles,
+        "distinct_users": _q_distinct_users,
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
         "canonical_reps": _q_canonical_reps,
@@ -696,6 +722,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(e) AS BIGINT) AS start_epoch, "
             "CAST(MAX(e) AS BIGINT) AS end_epoch "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "distinct_users": (
+            # exact per-key COUNT DISTINCT (stages/stats.distinct_count)
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "price_quantiles": (
             # exact interpolated quantiles (stages/quantiles.exact_quantiles

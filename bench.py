@@ -170,6 +170,7 @@ QUERY_NAMES = [
     "customer_order_coalesce",
     "user_span_events",
     "price_quantiles",
+    "distinct_users",
     "tfidf_pairs",
     "jaccard_pairs",
     "media_features",

@@ -90,3 +90,73 @@ def write_run_manifest(
             metrics = {**metrics, "dropped_work": {}}
     with open(path, "w") as f:
         json.dump(metrics, f, indent=2)
+
+
+def distinct_count(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    distinct_col: str,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT distinct_col) per ``key_col`` — the standard
+    scale pattern: a LOCAL per-batch dedup combiner bounds what the
+    shuffle moves at the true distinct count, a (key, value)-hash
+    bucketed groupby dedups globally (a pair lives in exactly one
+    bucket, so per-bucket counts sum exactly), and a tiny final groupby
+    adds the per-bucket partials.  Output: (key_col, n_distinct),
+    n_distinct int64; null distinct values are not counted (SQL
+    COUNT(DISTINCT) semantics), null keys group together like SQL
+    GROUP BY."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64_str
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, distinct_col]).filter(
+            pc.is_valid(t.column(distinct_col))
+        )
+        # a sentinel-filled STRING key rides along for the final groupby:
+        # a null key sorts fine as "\x00null" where a genuinely-null typed
+        # key would crash Ray's sort-based shuffle on mixed NaN/str
+        kstr = t.column(key_col).cast(pa.string()).fill_null("\x00null")
+        if isinstance(kstr, pa.ChunkedArray):
+            kstr = kstr.combine_chunks()
+        pair = pc.binary_join_element_wise(
+            kstr, t.column(distinct_col).cast(pa.string()), "\x1f"
+        )
+        if isinstance(pair, pa.ChunkedArray):
+            pair = pair.combine_chunks()
+        h = hash64_str(pair)
+        t = t.append_column("_key_str", kstr)
+        t = t.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+        # combiner: within the batch, keep each (key, value) once
+        df = t.to_pandas().drop_duplicates(["_key_str", distinct_col])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_counts(g: "pd.DataFrame") -> "pd.DataFrame":
+        uniq = g.drop_duplicates(["_key_str", distinct_col])
+        agg = (
+            uniq.groupby("_key_str")
+            .agg(partial=(distinct_col, "size"), **{key_col: (key_col, "first")})
+            .reset_index()
+        )
+        return agg
+
+    def sum_partials(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_distinct": [np.int64(g["partial"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("_key_str")
+        .map_groups(sum_partials, batch_format="pandas")
+    )

@@ -458,3 +458,32 @@ def test_exact_quantiles_matches_numpy(ray_session):
     v2 = np.where(rng.random(5_000) < 0.2, np.nan, rng.uniform(0, 1, 5_000))
     o2 = exact_quantiles(rd.from_arrow(pa.table({"x": pa.array(v2)})), "x", [0.25])
     assert abs(o2["value"][0] - np.nanquantile(v2, 0.25, method="linear")) < 1e-9
+
+
+def test_distinct_count_matches_pandas(ray_session):
+    """Bucketed exact COUNT DISTINCT == pandas nunique, including null
+    distinct values (not counted) and null keys (grouped like SQL)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.stats import distinct_count
+
+    rng = np.random.default_rng(4)
+    keys = rng.choice(["a", "b", None], 5_000, p=[0.45, 0.45, 0.1])
+    vals = rng.integers(0, 200, 5_000).astype(object)
+    vals[rng.random(5_000) < 0.05] = None
+    t = pa.table({"k": pa.array(keys.tolist(), pa.string()),
+                  "v": pa.array(vals.tolist(), pa.int64())})
+    out_df = distinct_count(rd.from_arrow(t).repartition(6), "k", "v").to_pandas()
+    out = {
+        ("<null>" if pd.isna(k) else k): int(n)
+        for k, n in zip(out_df["k"], out_df["n_distinct"])
+    }
+    df = pd.DataFrame({"k": keys, "v": vals})
+    exp_s = df.dropna(subset=["v"]).groupby("k", dropna=False)["v"].nunique()
+    exp = {
+        ("<null>" if pd.isna(k) else k): int(n) for k, n in exp_s.items()
+    }
+    assert out == exp
