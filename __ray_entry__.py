@@ -471,6 +471,33 @@ def _q_hopping_window(sf_dir: str):
     return hopping_window(events, window_seconds=3600, slide_seconds=1800)
 
 
+def _q_price_qty_corr(sf_dir: str):
+    """Per-key Pearson correlation through the driver contract (mergeable
+    Chan co-moments): corr(extended price, quantity) per return flag."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.stats import grouped_corr
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    out = grouped_corr(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "corr": pc.round(t.column("corr"), 6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_distinct_users(sf_dir: str):
     """Exact per-key COUNT DISTINCT through the driver contract: distinct
     users per event type (local combiner -> bucketed global dedup ->
@@ -642,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_span_events": _q_user_span_events,
         "price_quantiles": _q_price_quantiles,
         "distinct_users": _q_distinct_users,
+        "price_qty_corr": _q_price_qty_corr,
         "dedupe_pages": _q_dedupe_pages,
         "dedupe_profiles": _q_dedupe_profiles,
         "canonical_reps": _q_canonical_reps,
@@ -722,6 +750,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(e) AS BIGINT) AS start_epoch, "
             "CAST(MAX(e) AS BIGINT) AS end_epoch "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "price_qty_corr": (
+            # per-key Pearson correlation (stages/stats.grouped_corr)
+            "SELECT l_returnflag, "
+            "ROUND(corr(l_extendedprice, l_quantity), 6) AS corr "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "distinct_users": (
             # exact per-key COUNT DISTINCT (stages/stats.distinct_count)

@@ -171,6 +171,7 @@ QUERY_NAMES = [
     "user_span_events",
     "price_quantiles",
     "distinct_users",
+    "price_qty_corr",
     "tfidf_pairs",
     "jaccard_pairs",
     "media_features",

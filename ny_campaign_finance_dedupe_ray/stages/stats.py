@@ -160,3 +160,72 @@ def distinct_count(
         .groupby("_key_str")
         .map_groups(sum_partials, batch_format="pandas")
     )
+
+
+def grouped_corr(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> "ray.data.Dataset":
+    """Exact per-key Pearson correlation via MERGEABLE co-moments (the
+    Chan et al. pairwise-update form): each batch emits one
+    (key, n, mean_x, mean_y, M2x, M2y, Cxy) partial per key — numerically
+    stable where naive sum-of-squares cancels — and a small groupby merges
+    partials with the exact combine rule.  One tiny shuffle; rows where
+    either value is null are excluded (SQL corr() semantics).
+    Output: (key_col, corr) float64."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        y = t.column(y_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x) & ~np.isnan(y)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)[ok]
+        x, y = x[ok], y[ok]
+        df = pd.DataFrame({"k": k, "x": x, "y": y})
+        rows = []
+        for key, sub in df.groupby("k"):
+            n = len(sub)
+            mx, my = sub["x"].mean(), sub["y"].mean()
+            dx, dy = sub["x"].to_numpy() - mx, sub["y"].to_numpy() - my
+            rows.append((key, n, mx, my, (dx * dx).sum(), (dy * dy).sum(),
+                         (dx * dy).sum()))
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "mx": pa.array([r[2] for r in rows], pa.float64()),
+                "my": pa.array([r[3] for r in rows], pa.float64()),
+                "m2x": pa.array([r[4] for r in rows], pa.float64()),
+                "m2y": pa.array([r[5] for r in rows], pa.float64()),
+                "cxy": pa.array([r[6] for r in rows], pa.float64()),
+            }
+        )
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        n = m2x = m2y = cxy = 0.0
+        mx = my = 0.0
+        for r in g.itertuples(index=False):
+            nb = float(r.n)
+            if nb == 0:
+                continue
+            na = n
+            n = na + nb
+            dx, dy = r.mx - mx, r.my - my
+            f = na * nb / n
+            m2x += r.m2x + dx * dx * f
+            m2y += r.m2y + dy * dy * f
+            cxy += r.cxy + dx * dy * f
+            mx += dx * nb / n
+            my += dy * nb / n
+        denom = np.sqrt(m2x * m2y)
+        corr = cxy / denom if denom > 0 else np.nan
+        return pd.DataFrame({key_col: [g["k"].iloc[0]], "corr": [corr]})
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -487,3 +487,29 @@ def test_distinct_count_matches_pandas(ray_session):
         ("<null>" if pd.isna(k) else k): int(n) for k, n in exp_s.items()
     }
     assert out == exp
+
+
+def test_grouped_corr_stable_and_exact(ray_session):
+    """Mergeable co-moment correlation == numpy corrcoef to ~1e-12 even
+    with a large mean (where naive sum-of-squares partials cancel)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.stats import grouped_corr
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(1e6, 10, 12_000)  # tiny variance on a huge mean
+    y = 3 * x + rng.normal(0, 5, 12_000)
+    g = rng.choice(["A", "B"], 12_000)
+    t = pa.table({"k": pa.array(g), "x": pa.array(x), "y": pa.array(y)})
+    out = grouped_corr(
+        rd.from_arrow(t).repartition(7), "k", "x", "y"
+    ).to_pandas()
+    df = pd.DataFrame({"k": g, "x": x, "y": y})
+    assert len(out) == 2
+    for _, row in out.iterrows():
+        sub = df[df.k == row["k"]]
+        exp = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(row["corr"] - exp) < 1e-12, row["k"]
