@@ -7,14 +7,15 @@ Prints ONE JSON line:
 
 Measurement protocol (VERDICT r3 #1/#2 — the recorded artifact captured
 host contention two rounds running):
-- the headline flagship runs BEST-OF-2 in FRESH subprocesses (exactly like
-  ``--scaling`` already does per level); both runs and their spread are
-  emitted so a contended run is visible in the artifact instead of
-  silently becoming the official number;
+- the headline flagship runs BEST-OF-N (GRAFT_BENCH_RUNS, default 3) in
+  FRESH subprocesses (exactly like ``--scaling`` already does per level);
+  all runs and their spread are emitted so a contended run is visible in
+  the artifact instead of silently becoming the official number;
 - a same-day r1-code control (git worktree at the round-1 commit, same
-  host, same inputs, also best-of-2) is embedded as ``r1_control`` so the
-  cross-round comparison is same-day A/B, not cross-host-day.  Disable
-  with GRAFT_SKIP_R1_CONTROL=1 (e.g. when git history is unavailable).
+  host, same inputs, also best-of-N) is embedded as ``r1_control``, and
+  the two arms run INTERLEAVED A/B/A/B so host drift hits both equally
+  (single sequential blocks showed 1.9x same-code swings).  Disable with
+  GRAFT_SKIP_R1_CONTROL=1 (e.g. when git history is unavailable).
 
 ``--scaling`` runs the scoring engine at two parallelism levels in fresh
 processes on the same persisted input and reports throughputs + scaling
@@ -213,14 +214,8 @@ def _run_json(cmd: list[str], env: dict, cwd: str | None = None) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def _r1_control() -> dict | None:
-    """Same-day, same-host flagship control at the round-1 commit: a
-    detached git worktree runs ITS OWN bench headline (fresh process,
-    best-of-2) on the same inputs.  The cross-round perf comparison is then
-    an A/B, immune to host-day drift (BASELINE.md §Round-3 flagship
-    control protocol)."""
-    if os.environ.get("GRAFT_SKIP_R1_CONTROL"):
-        return None
+def _r1_worktree():
+    """Detached git worktree at the round-1 commit (or None + error)."""
     import shutil
     import tempfile
 
@@ -231,44 +226,75 @@ def _r1_control() -> dict | None:
             ["git", "worktree", "add", "--force", "--detach", wt, R1_COMMIT],
             cwd=repo, check=True, capture_output=True,
         )
-        env = dict(os.environ, GRAFT_SKIP_QUERIES="1")
-        runs = [
-            _run_json([sys.executable, "bench.py"], env, cwd=wt)
-            for _ in range(2)
-        ]
-        best = min(runs, key=lambda r: r["sec"])
-        return {
-            "commit": R1_COMMIT,
-            "sec": best["sec"],
-            "extract_sec": best.get("extract_sec"),
-            "block_score_sec": best.get("block_score_sec"),
-            "cluster_sec": best.get("cluster_sec"),
-            "runs_sec": [r["sec"] for r in runs],
-        }
-    except Exception as e:  # git history unavailable, old code crashed...
-        return {"commit": R1_COMMIT, "error": str(e)[:300]}
-    finally:
-        subprocess.run(
-            ["git", "worktree", "remove", "--force", wt],
-            cwd=repo, capture_output=True,
-        )
+        return wt, None
+    except Exception as e:
         shutil.rmtree(wt, ignore_errors=True)
+        return None, str(e)[:300]
+
+
+def _r1_cleanup(wt: str) -> None:
+    import shutil
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", wt],
+        cwd=repo, capture_output=True,
+    )
+    shutil.rmtree(wt, ignore_errors=True)
 
 
 def main() -> None:
-    # headline best-of-2 in fresh processes (the recorded artifact was
-    # single-shot contention noise in r2 and r3; fresh processes also avoid
-    # the in-session Ray Data slowdown documented in BASELINE.md)
+    # headline best-of-N (GRAFT_BENCH_RUNS, default 3) in fresh processes,
+    # INTERLEAVED A/B with the same-day r1-code control: one current run
+    # then one r1 run per round, so host drift hits both arms equally
+    # (the recorded artifact was single-shot contention noise in r2 and
+    # r3, and sequential blocks drift — BASELINE.md 10-run protocol)
     me = os.path.abspath(__file__)
-    runs = [
-        _run_json([sys.executable, me, "--headline-once"], dict(os.environ))
-        for _ in range(2)
-    ]
+    n_runs = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "3")))
+    skip_r1 = bool(os.environ.get("GRAFT_SKIP_R1_CONTROL"))
+    wt, r1_error = (None, None) if skip_r1 else _r1_worktree()
+    runs: list[dict] = []
+    r1_runs: list[dict] = []
+    try:
+        for _ in range(n_runs):
+            runs.append(
+                _run_json([sys.executable, me, "--headline-once"],
+                          dict(os.environ))
+            )
+            if wt is not None:
+                try:
+                    r1_runs.append(
+                        _run_json(
+                            [sys.executable, "bench.py"],
+                            dict(os.environ, GRAFT_SKIP_QUERIES="1"),
+                            cwd=wt,
+                        )
+                    )
+                except Exception as e:  # old code crashed mid-A/B
+                    r1_error = str(e)[:300]
+                    _r1_cleanup(wt)
+                    wt = None
+    finally:
+        if wt is not None:
+            _r1_cleanup(wt)
     h = min(runs, key=lambda r: r["sec"])
     spread = (
         (max(r["sec"] for r in runs) - h["sec"]) / h["sec"] if h["sec"] else 0.0
     )
-    r1 = _r1_control()
+    if skip_r1:
+        r1 = None
+    elif r1_runs:
+        b1 = min(r1_runs, key=lambda r: r["sec"])
+        r1 = {
+            "commit": R1_COMMIT,
+            "sec": b1["sec"],
+            "extract_sec": b1.get("extract_sec"),
+            "block_score_sec": b1.get("block_score_sec"),
+            "cluster_sec": b1.get("cluster_sec"),
+            "runs_sec": [r["sec"] for r in r1_runs],
+        }
+    else:
+        r1 = {"commit": R1_COMMIT, "error": r1_error or "no runs"}
     _init_ray()
     q = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
     print(
