@@ -7,7 +7,7 @@ Prints ONE JSON line:
 
 Measurement protocol (VERDICT r3 #1/#2 — the recorded artifact captured
 host contention two rounds running):
-- the headline flagship runs BEST-OF-N (GRAFT_BENCH_RUNS, default 3) in
+- the headline flagship runs BEST-OF-N (GRAFT_BENCH_RUNS, default 2) in
   FRESH subprocesses (exactly like ``--scaling`` already does per level);
   all runs and their spread are emitted so a contended run is visible in
   the artifact instead of silently becoming the official number;
@@ -250,7 +250,7 @@ def main() -> None:
     # (the recorded artifact was single-shot contention noise in r2 and
     # r3, and sequential blocks drift — BASELINE.md 10-run protocol)
     me = os.path.abspath(__file__)
-    n_runs = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "3")))
+    n_runs = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "2")))
     skip_r1 = bool(os.environ.get("GRAFT_SKIP_R1_CONTROL"))
     wt, r1_error = (None, None) if skip_r1 else _r1_worktree()
     runs: list[dict] = []
