@@ -244,7 +244,7 @@ def _r1_cleanup(wt: str) -> None:
 
 
 def main() -> None:
-    # headline best-of-N (GRAFT_BENCH_RUNS, default 3) in fresh processes,
+    # headline best-of-N (GRAFT_BENCH_RUNS, default 2) in fresh processes,
     # INTERLEAVED A/B with the same-day r1-code control: one current run
     # then one r1 run per round, so host drift hits both arms equally
     # (the recorded artifact was single-shot contention noise in r2 and

@@ -173,34 +173,46 @@ def grouped_corr(
     (key, n, mean_x, mean_y, M2x, M2y, Cxy) partial per key — numerically
     stable where naive sum-of-squares cancels — and a small groupby merges
     partials with the exact combine rule.  One tiny shuffle; rows where
-    either value is null are excluded (SQL corr() semantics).
+    either value is null are excluded, null KEYS form their own group
+    (SQL corr() / GROUP BY semantics; a sentinel string key rides the
+    shuffle like distinct_count's).
     Output: (key_col, corr) float64."""
     import numpy as np
-    import pyarrow.compute as pc
 
     def partials(t: pa.Table) -> pa.Table:
         x = t.column(x_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
         y = t.column(y_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
         ok = ~np.isnan(x) & ~np.isnan(y)
-        k = t.column(key_col).to_numpy(zero_copy_only=False)[ok]
-        x, y = x[ok], y[ok]
-        df = pd.DataFrame({"k": k, "x": x, "y": y})
+        kstr = t.column(key_col).cast(pa.string()).fill_null("\x00null")
+        if isinstance(kstr, pa.ChunkedArray):
+            kstr = kstr.combine_chunks()
+        df = pd.DataFrame(
+            {
+                "k": kstr.to_numpy(zero_copy_only=False)[ok],
+                "orig": t.column(key_col).to_pandas()[ok].to_numpy(),
+                "x": x[ok],
+                "y": y[ok],
+            }
+        )
         rows = []
         for key, sub in df.groupby("k"):
             n = len(sub)
             mx, my = sub["x"].mean(), sub["y"].mean()
             dx, dy = sub["x"].to_numpy() - mx, sub["y"].to_numpy() - my
-            rows.append((key, n, mx, my, (dx * dx).sum(), (dy * dy).sum(),
-                         (dx * dy).sum()))
+            rows.append((key, sub["orig"].iloc[0], n, mx, my,
+                         (dx * dx).sum(), (dy * dy).sum(), (dx * dy).sum()))
         return pa.table(
             {
-                "k": pa.array([r[0] for r in rows]),
-                "n": pa.array([r[1] for r in rows], pa.int64()),
-                "mx": pa.array([r[2] for r in rows], pa.float64()),
-                "my": pa.array([r[3] for r in rows], pa.float64()),
-                "m2x": pa.array([r[4] for r in rows], pa.float64()),
-                "m2y": pa.array([r[5] for r in rows], pa.float64()),
-                "cxy": pa.array([r[6] for r in rows], pa.float64()),
+                "k": pa.array([r[0] for r in rows], pa.string()),
+                "orig": pa.Array.from_pandas(
+                    pd.Series([r[1] for r in rows])
+                ),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+                "mx": pa.array([r[3] for r in rows], pa.float64()),
+                "my": pa.array([r[4] for r in rows], pa.float64()),
+                "m2x": pa.array([r[5] for r in rows], pa.float64()),
+                "m2y": pa.array([r[6] for r in rows], pa.float64()),
+                "cxy": pa.array([r[7] for r in rows], pa.float64()),
             }
         )
 
@@ -222,7 +234,7 @@ def grouped_corr(
             my += dy * nb / n
         denom = np.sqrt(m2x * m2y)
         corr = cxy / denom if denom > 0 else np.nan
-        return pd.DataFrame({key_col: [g["k"].iloc[0]], "corr": [corr]})
+        return pd.DataFrame({key_col: [g["orig"].iloc[0]], "corr": [corr]})
 
     return (
         ds.map_batches(partials, batch_format="pyarrow")

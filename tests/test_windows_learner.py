@@ -513,3 +513,67 @@ def test_grouped_corr_stable_and_exact(ray_session):
         sub = df[df.k == row["k"]]
         exp = np.corrcoef(sub["x"], sub["y"])[0, 1]
         assert abs(row["corr"] - exp) < 1e-12, row["k"]
+
+
+def test_exact_quantiles_edge_cases(ray_session):
+    """Isolated-value bins must return the VALUE, not the bin edge; null
+    group keys form their own group (SQL GROUP BY); max quantile hits an
+    extreme outlier exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.quantiles import exact_quantiles
+
+    o = exact_quantiles(
+        rd.from_arrow(pa.table({"x": pa.array([0.0, 1000.5])})), "x", [0.5]
+    )
+    assert abs(o["value"][0] - 500.25) < 1e-12
+
+    o2 = exact_quantiles(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "x": pa.array([1.0, 2.0, 3.0, 4.0]),
+                    "g": pa.array(["a", "a", None, None]),
+                }
+            )
+        ),
+        "x", [0.5], by="g",
+    )
+    got = {
+        ("<null>" if pd.isna(k) else k): v
+        for k, v in zip(o2["g"], o2["value"])
+    }
+    assert got == {"a": 1.5, "<null>": 3.5}
+
+    rng = np.random.default_rng(9)
+    v = np.concatenate([rng.normal(0, 1, 5_000), [1e9]])
+    o3 = exact_quantiles(
+        rd.from_arrow(pa.table({"x": pa.array(v)})), "x", [1.0],
+        collect_threshold=50,
+    )
+    assert o3["value"][0] == 1e9
+
+
+def test_grouped_corr_null_key_group(ray_session):
+    """Null keys must appear as their own output group, like SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.stats import grouped_corr
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(0, 1, 2_000)
+    y = 2 * x + rng.normal(0, 0.5, 2_000)
+    g = rng.choice(["a", None], 2_000).tolist()
+    t = pa.table({"k": pa.array(g, pa.string()),
+                  "x": pa.array(x), "y": pa.array(y)})
+    out = grouped_corr(rd.from_arrow(t).repartition(4), "k", "x", "y").to_pandas()
+    assert len(out) == 2
+    df = pd.DataFrame({"k": g, "x": x, "y": y})
+    for _, row in out.iterrows():
+        sub = df[df.k.isna()] if pd.isna(row["k"]) else df[df.k == row["k"]]
+        exp = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(row["corr"] - exp) < 1e-12
