@@ -66,7 +66,8 @@ class Gazetteer:
                 "_gazette_gen", pa.array([g] * t.num_rows, pa.int64())
             ),
             batch_format="pyarrow",
-        )
+        ).materialize()  # probe + collect read the SAME blocks (object
+        # store), not two executions of an expensive upstream pipeline
         if self._canonical_ds is not None:
             self._multi_gen = True
             self._canonical_ds = self._canonical_ds.union(canonical)

@@ -181,8 +181,18 @@ def _block_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
             pattern=r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//(?P<host>[^/?#]*)",
         )
         hosts = pc.struct_field(m, "host")
+        # urlparse RAISES on mismatched brackets ('http://[bad/x',
+        # 'http://ex]ample.com/') and on non-IPv6 bracketed hosts — the
+        # old scalar path skipped those rows. Parity rule: any bracket in
+        # the netloc -> no host key (valid bracketed-IPv6 hosts are also
+        # skipped; documented narrowing, they are vanishingly rare in web
+        # corpora and a host key is a recall aid, not a correctness gate)
         ok = pc.fill_null(
-            pc.and_kleene(pc.is_valid(hosts), pc.not_equal(hosts, "")), False
+            pc.and_kleene(
+                pc.and_kleene(pc.is_valid(hosts), pc.not_equal(hosts, "")),
+                pc.invert(pc.match_substring_regex(hosts, r"[\[\]]")),
+            ),
+            False,
         ).to_numpy(zero_copy_only=False).astype(bool)
         if ok.any():
             rows = np.flatnonzero(ok)

@@ -62,12 +62,14 @@ def _payload_native(kind: str, payload: bytes | None) -> bool:
     if kind == "audio":
         return payload.startswith(b"RIFF")
     if kind == "video":
-        # BMFF with a motion-JPEG sample entry decodes natively
-        # (demux_mjpeg + functions/jpeg.py); structural peek, no frame copy
+        # BMFF with a motion-JPEG track decodes natively.  The probe IS
+        # the demuxer: a byte-scan for 'stsd' desyncs both ways (the
+        # four bytes can occur in mdat entropy data -> false negative
+        # fourcc read; a jpeg stsd with a broken sample table -> probe
+        # true but demux None, crashing the decode stage downstream)
         if len(payload) < 12 or payload[4:8] != b"ftyp":
             return False
-        p = payload.find(b"stsd")
-        return p >= 0 and payload[p + 16: p + 20] in (b"jpeg", b"mjpa", b"mjpb")
+        return demux_mjpeg(payload) is not None
     return False
 
 
@@ -485,7 +487,13 @@ class SampleFrames:
                 )
                 for fi, p in enumerate(picks):
                     t_units, jpg = frames[p]
-                    img = self._decode_jpeg(jpg)
+                    try:
+                        img = self._decode_jpeg(jpg)
+                    except (NotImplementedError, ValueError):
+                        # one corrupt frame (UnsupportedJpeg subclasses
+                        # NotImplementedError) must not kill the actor —
+                        # skip it, keep the row's other frames
+                        continue
                     h, w = img.shape[:2]
                     ids.append(mid)
                     idxs.append(fi)

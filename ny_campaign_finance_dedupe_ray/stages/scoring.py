@@ -166,6 +166,11 @@ def py_feature_values(f, batch: pa.Table) -> np.ndarray:
         # '1' by an Arrow string cast but '1.0' by Python str() must still
         # match — fall back to the string path only when the cast fails
         try:
+            if not a.type.equals(b.type):
+                # record-link sides can carry different column types —
+                # native-type compare is only sound when both sides share
+                # the categories' cast target
+                raise pa.ArrowTypeError("a/b type mismatch")
             cats_arr = pa.array(cats).cast(a.type)
             aa, bb = a, b
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
@@ -250,10 +255,27 @@ class PairScorer:
                 )
             elif f.kind in _PYTHON_KINDS and f.kind != "interaction":
                 base[f.name] = py_feature_values(f, batch)
-        for f in self.model.features:
-            if f.kind == "interaction":
+        # interactions may reference OTHER interactions (n-way products
+        # chain through helper features, e.g. models converted from
+        # reference settings pickles) — resolve in passes so the factors
+        # need not precede their dependents in the feature list
+        pending = [f for f in self.model.features if f.kind == "interaction"]
+        while pending:
+            rest = []
+            for f in pending:
                 f1, f2 = f.field.split("*", 1)
-                base[f.name] = np.nan_to_num(base[f1]) * np.nan_to_num(base[f2])
+                if f1 in base and f2 in base:
+                    base[f.name] = np.nan_to_num(base[f1]) * np.nan_to_num(
+                        base[f2]
+                    )
+                else:
+                    rest.append(f)
+            if len(rest) == len(pending):
+                raise KeyError(
+                    "unresolvable interaction factors: "
+                    f"{sorted({f.field for f in rest})}"
+                )
+            pending = rest
         return np.column_stack(
             [np.nan_to_num(base[f.name]) for f in self.model.features]
         )

@@ -101,7 +101,12 @@ def console_label(
 
         while len(buffer) > 1:
             flush(buffer.pop())
-        labeled += 1
+        # only real dispositions consume the budget: (p)revious revisits
+        # the prior pair and (f)inished ends the session — counting them
+        # could hit the cap right after a 'p' and silently commit the very
+        # label the user asked to revise
+        if resp in ("y", "n", "u"):
+            labeled += 1
         if max_pairs is not None and labeled >= max_pairs:
             finished = True
 

@@ -85,7 +85,17 @@ def add_dropped(name: str, n: int) -> None:
 
 
 def dropped_totals(reset: bool = False) -> dict:
-    """Driver-side: read (and optionally reset) all counters.  Returns {}
+    """Totals of every dropped-work counter since the last reset.
+
+    SEMANTICS UNDER RETRIES: counters increment inside map tasks, so a
+    Ray task retry (or re-executing a lazy Dataset's lineage twice)
+    re-fires the same increments — totals are exact on a clean
+    single-consumption run and an UPPER BOUND otherwise.  They answer
+    "did any cap fire and roughly how hard", not "exactly how many rows";
+    exact accounting would need per-task dedup keys, which isn't worth
+    the shuffle for a diagnostics channel.
+
+    Driver-side: reads (and optionally resets) all counters; returns {}
     when counting was never enabled."""
     h = _handle()
     if h is None:

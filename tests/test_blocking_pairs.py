@@ -450,3 +450,18 @@ def test_range_join_hostile_types(ray_session):
     o2 = range_join(rd.from_arrow(L2), rd.from_arrow(R2), "x", "lo", "hi",
                     n_tiles=8).to_pandas()
     assert sorted(o2["lid"].tolist()) == [1, 2]
+
+
+def test_host_key_bracket_urls_skipped():
+    """urlparse RAISES on mismatched-bracket netlocs — those rows must get
+    no host key (the old scalar path skipped them); bracketed IPv6 hosts
+    are skipped too (documented narrowing)."""
+    rows = [
+        ("http://[bad/x", "n", "s", "c"),
+        ("http://ex]ample.com/x", "n", "s", "c"),
+        ("http://[::1]/x", "n", "s", "c"),
+        ("http://good.example.com/x", "n", "s", "c"),
+    ]
+    cfg = blocking.BlockingConfig(predicates=[], minhash_column=None, host_key=True)
+    out = blocking.block_records(_records(rows), cfg).to_pandas()
+    assert set(out["block_key"]) == {"host:good.example.com"}

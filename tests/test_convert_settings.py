@@ -306,3 +306,29 @@ def test_combine_predicates(tmp_path, settings_file):
         "((wholeFieldPredicate, zip), (firstTokenPredicate, name))",
     ]
     assert load_model_any(str(out_path)).predicate_names == comb.predicate_names
+
+
+def test_unpickler_refuses_dangerous_builtins(tmp_path):
+    """A malicious settings pickle requesting builtins.eval must be
+    refused, not executed."""
+    import pickle
+
+    import pytest
+
+    from tools.convert_settings import _SettingsUnpickler
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, ("__import__('os').getcwd()",))
+
+    path = tmp_path / "evil.pickle"
+    with open(path, "wb") as f:
+        pickle.dump(Evil(), f)
+    with open(path, "rb") as f:
+        with pytest.raises(pickle.UnpicklingError, match="refused"):
+            _SettingsUnpickler(f).load()
+
+    # plain containers still unpickle
+    blob = pickle.dumps({"a": {1, 2}, "b": (1.5, b"x")})
+    import io
+    assert _SettingsUnpickler(io.BytesIO(blob)).load()["a"] == {1, 2}

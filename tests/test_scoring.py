@@ -343,3 +343,36 @@ def test_affine_gap_chunk_bound_tracks_running_max(monkeypatch):
     assert len(out) == 401 and np.isfinite(out).all()
     for rows, max_n1 in seen:
         assert rows * max_n1 <= 50_000 or rows == 1, (rows, max_n1)
+
+
+def test_interactions_resolve_out_of_order():
+    """Interaction features may list a chained helper AFTER its dependent
+    (converted 3-way reference interactions) — the scorer must resolve by
+    dependency, not list order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ny_campaign_finance_dedupe_ray.state.model import Feature, Model
+    from ny_campaign_finance_dedupe_ray.stages.scoring import PairScorer
+
+    feats = [
+        Feature("A", "fa", "exact"),
+        Feature("B", "fb", "exact"),
+        Feature("C", "fc", "exact"),
+        Feature("I", "I__chain1*C", "interaction"),      # dependent FIRST
+        Feature("I__chain1", "A*B", "interaction"),      # helper LAST
+    ]
+    model = Model(
+        features=feats, weights=[0.0, 0.0, 0.0, 5.0, 0.0], bias=-2.0,
+        threshold=0.5,
+    )
+    batch = pa.table({
+        "id_a": pa.array(["x"], pa.string()),
+        "id_b": pa.array(["y"], pa.string()),
+        "fa_a": pa.array(["s"]), "fa_b": pa.array(["s"]),
+        "fb_a": pa.array(["t"]), "fb_b": pa.array(["t"]),
+        "fc_a": pa.array(["u"]), "fc_b": pa.array(["u"]),
+    })
+    out = PairScorer(model=model, min_score=0.0)(batch)
+    # all exact=1 -> I = 1 -> sigmoid(5 - 2) ~ 0.95
+    assert abs(out.column("score").to_pylist()[0] - 0.9525741) < 1e-4

@@ -100,8 +100,25 @@ def _stub_class(module: str, name: str) -> type:
     return _stub_cache[key]
 
 
+# builtins is needed for container constructors in numpy/collections
+# pickles, but importing it wholesale would hand a malicious settings
+# file eval/exec/__import__/getattr — allow only plain constructors
+_SAFE_BUILTINS = {
+    "set", "frozenset", "list", "dict", "tuple", "object",
+    "bytearray", "bytes", "complex", "slice", "range", "bool",
+    "int", "float", "str",
+}
+
+
 class _SettingsUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
+        if module.split(".")[0] == "builtins":
+            if name not in _SAFE_BUILTINS:
+                raise pickle.UnpicklingError(
+                    f"settings pickle requests builtins.{name} — refused "
+                    "(only plain constructors are allowed)"
+                )
+            return getattr(__import__("builtins"), name)
         if module.split(".")[0] in [p.split(".")[0] for p in _REAL_PREFIXES]:
             __import__(module)
             return getattr(sys.modules[module], name)
@@ -186,7 +203,7 @@ def _predicate_name(p) -> str:
         return f"({fname}, {field})"
     thr = p.__dict__.get("threshold")
     if thr is not None and field:
-        return f"({type(p).__name__}: ({thr}, {field})"
+        return f"({type(p).__name__}: ({thr}, {field}))"
     return f"({type(p).__name__}, {field})"
 
 
