@@ -552,12 +552,18 @@ def _q_price_quantiles(sf_dir: str):
 def _q_user_span_events(sf_dir: str):
     """Range (interval-containment) join through the driver contract: per
     user, how many events (any user's) fall inside that user's
-    [min(ts), max(ts)] activity span."""
+    [min(ts), max(ts)] activity span.
+
+    Uses the COUNT-pushdown form (``range_join_count``): every user's span
+    covers nearly the whole time domain, so the generic
+    range_join + groupby-count would materialize ~|events| x |spans| joined
+    rows just to count them (the r4 130 s defect); the pushdown ships only
+    per-(interval-replica) partial counts — ~|spans| x n_tiles rows."""
     import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min
 
-    from ny_campaign_finance_dedupe_ray.stages.joins import range_join
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     spans = events.groupby("user_id").aggregate(Min("ts"), Max("ts"))
@@ -572,20 +578,16 @@ def _q_user_span_events(sf_dir: str):
         )
 
     spans = spans.map_batches(rename, batch_format="pyarrow")
-    joined = range_join(
-        events.select_columns(["ts"]), spans, "ts", "lo", "hi", n_tiles=64
+    return range_join_count(
+        events.select_columns(["ts"]),
+        spans,
+        "ts",
+        "lo",
+        "hi",
+        count_by="span_user",
+        count_name="n_events",
+        n_tiles=64,
     )
-    out = joined.groupby("span_user").aggregate(Count())
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "span_user": t.column("span_user"),
-                "n_events": t.column("count()").cast(pa.int64()),
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_events_prev_value(sf_dir: str):

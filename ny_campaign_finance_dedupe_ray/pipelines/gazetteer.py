@@ -137,8 +137,24 @@ class Gazetteer:
                 import pyarrow.compute as pc
 
                 ids, marks = ray.get(removed)
+                rid = t.column("record_id")
+                try:
+                    # match in the record_id column's own type (int ids on
+                    # an int column must not crash, unlike a hard-coded
+                    # pa.string() value_set — ADVICE r4)
+                    value_set = (
+                        pa.array(ids).cast(rid.type)
+                        if ids
+                        else pa.array([], rid.type)
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    # mixed/unconvertible id types: compare as strings,
+                    # the _key_strings convention (parity w/ driver isin)
+                    rid = rid.cast(pa.string())
+                    value_set = pa.array([str(i) for i in ids], pa.string())
                 pos = pc.index_in(
-                    t.column("record_id"), value_set=pa.array(ids, pa.string())
+                    rid, value_set=value_set
                 ).to_numpy(zero_copy_only=False).astype(np.float64)
                 gens = t.column("_gazette_gen").to_numpy(zero_copy_only=False)
                 marks = np.asarray(marks, dtype=np.int64)

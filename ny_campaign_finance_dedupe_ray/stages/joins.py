@@ -248,6 +248,103 @@ def asof_join(
     return unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")
 
 
+def _pa_type_of(t) -> pa.DataType:
+    """Normalize a Dataset.schema() type (Arrow type, numpy dtype or python
+    class from a pandas-block dataset) to an Arrow DataType."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
+def _intlike(t: pa.DataType) -> bool:
+    return pa.types.is_temporal(t) or pa.types.is_integer(t)
+
+
+def _int64able(t: pa.DataType) -> bool:
+    # uint64 keys above 2^63 can't view as int64 — use the float path
+    return _intlike(t) and not (
+        pa.types.is_integer(t) and t.bit_width == 64
+        and not pa.types.is_signed_integer(t)
+    )
+
+
+def _num_extract(col, int_mode: bool) -> tuple[np.ndarray, np.ndarray]:
+    """(values in the join's numeric dtype, valid mask) — exact int64 for
+    temporal/integer keys in int_mode, float64 otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    if int_mode:
+        v = (
+            col.cast(pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return v, valid
+    if pa.types.is_temporal(col.type):
+        col = col.cast(pa.int64())
+    v = np.asarray(
+        col.cast(pa.float64()).to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+    )
+    return v, valid & ~np.isnan(v)
+
+
+def _placeholder(n: int, typ: pa.DataType):
+    """Other-side placeholder column: zero-fill int/temporal types so
+    pandas keeps the exact dtype through the groupby (these rows belong to
+    the other side and are never read); a null-smeared int64 becomes
+    float64 and corrupts values above 2^53.  Types Arrow can't cast 0 into
+    (date32/time32) fall back to nulls."""
+    if _intlike(typ):
+        try:
+            return pc.fill_null(pa.nulls(n, typ), pa.scalar(0).cast(typ))
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            return pa.nulls(n, typ)
+    return pa.nulls(n, typ)
+
+
+def _value_domain(left, value_col, value_type, int_mode, domain, n_tiles):
+    """(f_lo, f_width): float64 tile origin/width over the left values.
+    Tiling always runs in float64 — int64 differences can WRAP for
+    full-range domains (e.g. signed hash keys spanning > 2^62). Float
+    tiling is still exactly correct: int64 -> float64 rounding and the
+    (x - lo) / w pipeline are monotone non-decreasing, so lo <= v <= hi
+    (compared exactly in int64 in the tile kernel) implies
+    tile(lo) <= tile(v) <= tile(hi) and the match is always found in the
+    left row's tile."""
+    num_dtype = np.int64 if int_mode else np.float64
+    if domain is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = left.aggregate(Min(value_col), Max(value_col))
+        vals = (
+            None
+            if agg is None
+            else (agg.get(f"min({value_col})"), agg.get(f"max({value_col})"))
+        )
+        if vals is None or vals[0] is None or vals[1] is None:
+            # empty (or all-null) left side: any domain works, no matches
+            d_lo, d_hi = num_dtype(0), num_dtype(1)
+        else:
+            dom = pa.array(list(vals))
+            if dom.type != value_type:
+                # pa.array infers ns-resolution for Timestamp scalars; the
+                # epoch UNIT must match the column's own int64 view
+                dom = dom.cast(value_type)
+            arr, _ = _num_extract(dom, int_mode)
+            d_lo, d_hi = arr[0], arr[1]
+    else:
+        d_lo, d_hi = num_dtype(domain[0]), num_dtype(domain[1])
+    f_lo = float(d_lo)
+    f_width = max((float(d_hi) - f_lo) / n_tiles, 1e-300)
+    return f_lo, f_width
+
+
 def range_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -291,32 +388,13 @@ def range_join(
     Output: left columns + right columns (name collisions raise).
     """
     l_schema, r_schema = left.schema(), right.schema()
-
-    def _pa_type(t) -> pa.DataType:
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError, ValueError):
-            return pa.string()
-
-    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
-    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    l_types = {n: _pa_type_of(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type_of(t) for n, t in zip(r_schema.names, r_schema.types)}
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"column collision: {sorted(overlap)}")
-
-    def _intlike(t: pa.DataType) -> bool:
-        return pa.types.is_temporal(t) or pa.types.is_integer(t)
-
-    def _int64able(t: pa.DataType) -> bool:
-        # uint64 keys above 2^63 can't view as int64 — use the float path
-        return _intlike(t) and not (
-            pa.types.is_integer(t) and t.bit_width == 64
-            and not pa.types.is_signed_integer(t)
-        )
 
     int_mode = all(
         _int64able(typ)
@@ -325,68 +403,11 @@ def range_join(
     num_dtype = np.int64 if int_mode else np.float64
 
     def _num(col) -> tuple[np.ndarray, np.ndarray]:
-        """(values in the join's numeric dtype, valid mask) — exact int64
-        for temporal/integer keys in int_mode, float64 otherwise."""
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        valid = col.is_valid().to_numpy(zero_copy_only=False)
-        if int_mode:
-            v = (
-                col.cast(pa.int64())
-                .fill_null(0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            return v, valid
-        if pa.types.is_temporal(col.type):
-            col = col.cast(pa.int64())
-        v = np.asarray(
-            col.cast(pa.float64()).to_numpy(zero_copy_only=False),
-            dtype=np.float64,
-        )
-        return v, valid & ~np.isnan(v)
+        return _num_extract(col, int_mode)
 
-    if domain is None:
-        from ray.data.aggregate import Max, Min
-
-        agg = left.aggregate(Min(value_col), Max(value_col))
-        vals = (
-            None
-            if agg is None
-            else (agg.get(f"min({value_col})"), agg.get(f"max({value_col})"))
-        )
-        if vals is None or vals[0] is None or vals[1] is None:
-            # empty (or all-null) left side: any domain works, no matches
-            d_lo, d_hi = num_dtype(0), num_dtype(1)
-        else:
-            dom = pa.array(list(vals))
-            if dom.type != l_types[value_col]:
-                # pa.array infers ns-resolution for Timestamp scalars; the
-                # epoch UNIT must match the column's own int64 view
-                dom = dom.cast(l_types[value_col])
-            arr, _ = _num(dom)
-            d_lo, d_hi = arr[0], arr[1]
-    else:
-        d_lo, d_hi = num_dtype(domain[0]), num_dtype(domain[1])
-    # Tiling always runs in float64 — int64 differences can WRAP for
-    # full-range domains (e.g. signed hash keys spanning > 2^62). Float
-    # tiling is still exactly correct: int64 -> float64 rounding and the
-    # (x - lo) / w pipeline are monotone non-decreasing, so lo <= v <= hi
-    # (compared exactly in int64 below) implies tile(lo) <= tile(v) <=
-    # tile(hi) and the match is always found in the left row's tile.
-    f_lo = float(d_lo)
-    f_width = max((float(d_hi) - f_lo) / n_tiles, 1e-300)
-
-    def _placeholder(n: int, typ: pa.DataType):
-        # zero-fill int/temporal placeholders so pandas keeps the exact
-        # dtype (these rows belong to the other side and are never read);
-        # types Arrow can't cast 0 into (date32/time32) fall back to nulls
-        if _intlike(typ):
-            try:
-                return pc.fill_null(pa.nulls(n, typ), pa.scalar(0).cast(typ))
-            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
-                return pa.nulls(n, typ)
-        return pa.nulls(n, typ)
+    f_lo, f_width = _value_domain(
+        left, value_col, l_types[value_col], int_mode, domain, n_tiles
+    )
 
     def tag_left(t: pa.Table) -> pa.Table:
         v, valid = _num(t.column(value_col))
@@ -500,3 +521,220 @@ def range_join(
         return pa.table(cols)
 
     return merged.map_batches(cast_back, batch_format="pyarrow")
+
+
+def range_join_count(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    count_by: str | list[str] | None = None,
+    count_name: str = "n",
+    n_tiles: int = 64,
+    domain: tuple | None = None,
+) -> "ray.data.Dataset":
+    """Aggregate-pushdown form of :func:`range_join`: per right interval
+    (grouped by the right-side ``count_by`` columns), COUNT the left rows
+    with ``lo <= value <= hi`` — without ever materializing the joined
+    pairs.  Equivalent SQL::
+
+        SELECT count_by, COUNT(*) AS n
+        FROM left JOIN right ON left.value BETWEEN right.lo AND right.hi
+        GROUP BY count_by
+
+    (inner-join semantics: groups whose total count is zero are dropped,
+    null values/bounds never match; a NULL in ``count_by`` is a normal
+    group key, as in SQL GROUP BY).
+
+    Why it exists: counting over a containment join is the most common
+    range-join use, and composing the generic ``range_join`` with a
+    ``groupby().count()`` materializes O(|left| x avg-overlap) rows just to
+    count them — at wide-interval workloads that is |L| x |R|.  Here the
+    per-tile kernel's two searchsorted calls already yield each interval's
+    match count (``ends - starts``) BEFORE any row explosion, so the
+    shuffle after the tile stage carries only ~|right| x replication
+    partial-count rows (one per interval replica), then a small
+    groupby-sum.  Same tiling, same exact-int64 containment arithmetic,
+    same exactly-once guarantee (a left row lives in exactly one tile) as
+    ``range_join``.
+
+    ``count_by=None`` counts per distinct interval identity — only valid
+    when the right side has no payload columns beyond lo/hi; pass explicit
+    ``count_by`` columns otherwise.  Output: ``count_by`` columns (their
+    input types preserved) + ``count_name`` (int64).
+    """
+    if count_by is None:
+        by_cols: list[str] = []
+    elif isinstance(count_by, str):
+        by_cols = [count_by]
+    else:
+        by_cols = list(count_by)
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_types = {n: _pa_type_of(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type_of(t) for n, t in zip(r_schema.names, r_schema.types)}
+    missing = [c for c in by_cols if c not in r_types]
+    if missing:
+        raise ValueError(f"count_by columns not on the right side: {missing}")
+    if not by_cols:
+        extra = [c for c in r_schema.names if c not in (lo_col, hi_col)]
+        if extra:
+            raise ValueError(
+                "count_by=None requires a right side with only lo/hi "
+                f"columns; found payload columns {extra} — pass count_by"
+            )
+    reserved = {"_side", "_tile", "_v", "_lo", "_hi", "_partial", count_name}
+    bad = reserved & set(by_cols)
+    if bad:
+        raise ValueError(f"count_by collides with internal names: {sorted(bad)}")
+
+    int_mode = all(
+        _int64able(typ)
+        for typ in (l_types[value_col], r_types[lo_col], r_types[hi_col])
+    )
+    num_dtype = np.int64 if int_mode else np.float64
+    f_lo, f_width = _value_domain(
+        left, value_col, l_types[value_col], int_mode, domain, n_tiles
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        # the slim win over range_join: left ships ONLY (_tile, _v)
+        v, valid = _num_extract(t.column(value_col), int_mode)
+        v = v[valid]
+        tile = np.clip(
+            (v.astype(np.float64) - f_lo) // f_width, 0, n_tiles - 1
+        ).astype(np.int64)
+        n = len(v)
+        cols = {
+            "_side": pa.array(["l"] * n, pa.string()),
+            "_tile": pa.array(tile),
+            "_v": pa.array(v),
+            "_lo": pa.array(np.zeros(n, dtype=num_dtype)),
+            "_hi": pa.array(np.zeros(n, dtype=num_dtype)),
+        }
+        for c in by_cols:
+            cols[c] = _placeholder(n, r_types[c])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        lo, lo_ok = _num_extract(t.column(lo_col), int_mode)
+        hi, hi_ok = _num_extract(t.column(hi_col), int_mode)
+        keep = lo_ok & hi_ok & (lo <= hi)
+        t = t.filter(pa.array(keep))
+        lo, hi = lo[keep], hi[keep]
+        t0 = np.clip(
+            (lo.astype(np.float64) - f_lo) // f_width, 0, n_tiles - 1
+        ).astype(np.int64)
+        t1 = np.clip(
+            (hi.astype(np.float64) - f_lo) // f_width, 0, n_tiles - 1
+        ).astype(np.int64)
+        counts = t1 - t0 + 1  # t1 >= t0 by monotonicity (lo <= hi)
+        from ..functions.hashing import _ranges
+
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        tile = np.repeat(t0, counts) + _ranges(counts)
+        rep = t.take(pa.array(idx))
+        cols = {
+            "_side": pa.array(["r"] * rep.num_rows, pa.string()),
+            "_tile": pa.array(tile),
+            "_v": pa.array(np.zeros(rep.num_rows, dtype=num_dtype)),
+            "_lo": pa.array(lo[idx]),
+            "_hi": pa.array(hi[idx]),
+        }
+        for c in by_cols:
+            cols[c] = rep.column(c)
+        return pa.table(cols)
+
+    ordered = ["_side", "_tile", "_v", "_lo", "_hi", *by_cols]
+
+    def reorder(t: pa.Table) -> pa.Table:
+        return t.select(ordered)
+
+    unioned = (
+        left.select_columns([value_col])
+        .map_batches(tag_left, batch_format="pyarrow")
+        .map_batches(reorder, batch_format="pyarrow")
+        .union(
+            right.select_columns([lo_col, hi_col, *by_cols])
+            .map_batches(tag_right, batch_format="pyarrow")
+            .map_batches(reorder, batch_format="pyarrow")
+        )
+    )
+
+    def _empty_parts() -> pa.Table:
+        cols = {"_key_str": pa.array([], pa.string())}
+        for c in by_cols:
+            cols[c] = pa.array([], r_types[c])
+        cols["_partial"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def partials(g: pa.Table) -> pa.Table:
+        # ends - starts IS the per-interval match count in this tile — the
+        # count the generic range_join only reaches after np.repeat.
+        # All-Arrow (no pandas round-trip), so count_by columns keep exact
+        # types — incl. nullable int64 above 2^53.  Locally combined per
+        # count_by key (dictionary-encode + bincount: one row per key per
+        # tile); keyed for the final shuffle by a sentinel-filled STRING
+        # (a genuinely-null typed key would crash Ray's sort-based shuffle).
+        side = g.column("_side")
+        rt = g.filter(pc.equal(side, "r"))
+        if rt.num_rows == 0:
+            return _empty_parts()
+        lv = g.filter(pc.equal(side, "l")).column("_v")
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        if len(lv) == 0:
+            partial = np.zeros(rt.num_rows, dtype=np.int64)
+        else:
+            vs = np.sort(lv.to_numpy(zero_copy_only=False), kind="stable")
+            lo = rt.column("_lo").to_numpy(zero_copy_only=False)
+            hi = rt.column("_hi").to_numpy(zero_copy_only=False)
+            starts = np.searchsorted(vs, lo, side="left")
+            ends = np.searchsorted(vs, hi, side="right")
+            partial = np.maximum(ends - starts, 0).astype(np.int64)
+        parts_str = [
+            rt.column(c).cast(pa.string()).fill_null("\x00null")
+            for c in by_cols
+        ] or [pa.array([""] * rt.num_rows, pa.string())]
+        kstr = parts_str[0]
+        for p in parts_str[1:]:
+            kstr = pc.binary_join_element_wise(kstr, p, "\x1f")
+        if isinstance(kstr, pa.ChunkedArray):
+            kstr = kstr.combine_chunks()
+        enc = kstr.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(enc.dictionary)
+        sums = np.bincount(codes, weights=partial, minlength=m)
+        uniq, first_idx = np.unique(codes, return_index=True)
+        take = pa.array(first_idx[np.argsort(uniq)], pa.int64())
+        cols = {"_key_str": enc.dictionary}
+        for c in by_cols:
+            cols[c] = rt.column(c).take(take)
+        # partial counts are < |left| per tile: exact in float64, safe cast
+        cols["_partial"] = pa.array(sums.astype(np.int64))
+        return pa.table(cols)
+
+    parts = unioned.groupby("_tile").map_groups(partials, batch_format="pyarrow")
+
+    if not by_cols:
+        # no grouping: one global count — a tiny driver-side sum
+        from ray.data.aggregate import Sum
+
+        total = parts.aggregate(Sum("_partial"))
+        n = 0 if total is None else int(total.get("sum(_partial)") or 0)
+        import ray.data as rd
+
+        table = pa.table({count_name: pa.array([n], pa.int64())})
+        return rd.from_arrow(table if n > 0 else table.slice(0, 0))
+
+    def sum_partials(g: pa.Table) -> pa.Table:
+        n = pc.sum(g.column("_partial")).as_py() or 0
+        head = g.slice(0, 1 if n > 0 else 0)  # inner-join: zero-match drops
+        cols = {c: head.column(c) for c in by_cols}
+        cols[count_name] = pa.array([np.int64(n)][: head.num_rows], pa.int64())
+        return pa.table(cols)
+
+    return parts.groupby("_key_str").map_groups(
+        sum_partials, batch_format="pyarrow"
+    )

@@ -18,9 +18,24 @@ from __future__ import annotations
 
 import ray
 
-_ACTOR_NAME = "ncfd_dropped_work"
+_ACTOR_PREFIX = "ncfd_dropped_work"
 _NAMESPACE = "ncfd_counters"
-_cached_handle = None
+# per-actor-name cache: a worker process only ever sees its own job's
+# actor, but keying by name keeps the creator handle of each job alive
+# on a driver that runs several jobs
+_cached_handles: dict[str, "ray.actor.ActorHandle"] = {}
+
+
+def _actor_name() -> str:
+    """One counter actor PER JOB (ADVICE r4): a fixed cluster-wide name
+    would share one actor between concurrent jobs — cross-polluted counts,
+    one job's ``reset`` wiping the other's, and the actor dying with
+    whichever driver created it while the survivor's tasks still call it."""
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = "nojob"
+    return f"{_ACTOR_PREFIX}_{job}"
 
 
 @ray.remote(num_cpus=0)
@@ -45,43 +60,54 @@ def enable_counters():
     ``get_if_exists`` lookup handle is weak, and replacing the creator
     handle would let Ray reap the actor — so a live cached handle is never
     overwritten."""
-    global _cached_handle
-    if _cached_handle is not None:
+    aname = _actor_name()
+    h = _cached_handles.get(aname)
+    if h is not None:
         try:
-            ray.get(_cached_handle.totals.remote())
-            return _cached_handle
+            ray.get(h.totals.remote())
+            return h
         except Exception:
-            _cached_handle = None
-    _cached_handle = _CounterActor.options(
-        name=_ACTOR_NAME,
+            _cached_handles.pop(aname, None)
+    h = _CounterActor.options(
+        name=aname,
         namespace=_NAMESPACE,
         get_if_exists=True,
         max_restarts=0,
     ).remote()
-    return _cached_handle
+    _cached_handles[aname] = h
+    return h
 
 
 def _handle():
-    global _cached_handle
-    if _cached_handle is not None:
-        return _cached_handle
+    aname = _actor_name()
+    h = _cached_handles.get(aname)
+    if h is not None:
+        return h
     try:
-        _cached_handle = ray.get_actor(_ACTOR_NAME, namespace=_NAMESPACE)
+        h = ray.get_actor(aname, namespace=_NAMESPACE)
     except ValueError:
         return None
-    return _cached_handle
+    _cached_handles[aname] = h
+    return h
 
 
 def add_dropped(name: str, n: int) -> None:
     """Increment from inside a task; no-op when ``n <= 0`` or counting was
     never enabled on the driver.  The add is SYNCHRONOUS so that once the
     dataset that fired the cap is consumed, the counts are fully visible —
-    it only runs on the rare cap-fired path, so the round-trip is noise."""
+    it only runs on the rare cap-fired path, so the round-trip is noise.
+    A dead/missing actor (e.g. the driver that owned it exited) degrades
+    to a silent no-op rather than failing the surrounding map task —
+    counters are a diagnostics channel, never worth killing work over."""
     if n <= 0:
         return
     h = _handle()
-    if h is not None:
+    if h is None:
+        return
+    try:
         ray.get(h.add.remote(name, int(n)))
+    except Exception:
+        _cached_handles.pop(_actor_name(), None)
 
 
 def dropped_totals(reset: bool = False) -> dict:
@@ -100,7 +126,11 @@ def dropped_totals(reset: bool = False) -> dict:
     h = _handle()
     if h is None:
         return {}
-    out = ray.get(h.totals.remote())
-    if reset:
-        ray.get(h.reset.remote())
+    try:
+        out = ray.get(h.totals.remote())
+        if reset:
+            ray.get(h.reset.remote())
+    except Exception:
+        _cached_handles.pop(_actor_name(), None)
+        return {}
     return out

@@ -452,6 +452,95 @@ def test_range_join_hostile_types(ray_session):
     assert sorted(o2["lid"].tolist()) == [1, 2]
 
 
+def test_range_join_count_matches_materialized(ray_session):
+    """range_join_count == range_join + groupby().count() (the pushdown
+    must not change the answer): grouped counts match brute force, and
+    zero-match intervals are dropped (inner-join semantics)."""
+    import numpy as np
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    rng = np.random.default_rng(7)
+    L = pa.table({"x": pa.array(rng.uniform(0, 100, 400))})
+    lo = rng.uniform(0, 90, 30)
+    R = pa.table({
+        "lo": pa.array(np.concatenate([lo, [200.0]])),          # rid 30: no match
+        "hi": pa.array(np.concatenate([lo + rng.uniform(0, 25, 30), [300.0]])),
+        "rid": pa.array(range(31), pa.int64()),
+    })
+    out = range_join_count(
+        rd.from_arrow(L).repartition(5), rd.from_arrow(R).repartition(3),
+        "x", "lo", "hi", count_by="rid", n_tiles=16,
+    ).to_pandas()
+    l, r = L.to_pandas(), R.to_pandas()
+    exp = (
+        l.assign(k=1).merge(r.assign(k=1), on="k")
+        .query("lo <= x <= hi").groupby("rid").size()
+    )
+    got = dict(zip(out["rid"], out["n"]))
+    assert got == exp.to_dict()
+    assert 30 not in got  # zero-match interval dropped
+
+
+def test_range_join_count_int64_and_nulls(ray_session):
+    """count_by keys: big int64 (>2^53) survive exactly (zero-filled
+    placeholders, not null-smeared floats); a NULL count_by value is one
+    SQL GROUP BY group; null bounds never match."""
+    import numpy as np
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    big = 2 ** 53 + 777
+    L = pa.table({"x": pa.array([1.0, 2.0, 3.0, 50.0])})
+    R = pa.table({
+        "lo": pa.array([0.0, 0.0, None]),
+        "hi": pa.array([10.0, 2.5, 10.0]),
+        "uid": pa.array([big, None, big + 1], pa.int64()),
+    })
+    ds = range_join_count(
+        rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+        count_by="uid", n_tiles=4,
+    )
+    # assert in Arrow: pandas would widen the nullable int64 uid to float64
+    # and smear >2^53 values IN THE TEST, masking what the operator emits
+    out = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert out.schema.field("uid").type == pa.int64()
+    rows = dict(zip(out.column("uid").to_pylist(), out.column("n").to_pylist()))
+    # big: [0,10] -> 3 events; null uid: [0,2.5] -> 2; big+1: null lo -> dropped
+    assert rows == {big: 3, None: 2}
+
+
+def test_range_join_count_global_and_multicol(ray_session):
+    """count_by=None gives one global count (and requires a payload-free
+    right side); multi-column count_by groups like SQL."""
+    import pytest
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    L = pa.table({"x": pa.array([1.0, 2.0, 3.0])})
+    R = pa.table({"lo": pa.array([0.0, 2.5]), "hi": pa.array([10.0, 10.0])})
+    out = range_join_count(
+        rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi", n_tiles=4
+    ).to_pandas()
+    assert out["n"].tolist() == [4]  # 3 + 1
+
+    R2 = pa.table({
+        "lo": pa.array([0.0, 0.0, 2.5]),
+        "hi": pa.array([10.0, 10.0, 10.0]),
+        "a": pa.array(["g1", "g1", "g2"]),
+        "b": pa.array([1, 1, 2], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="payload columns"):
+        range_join_count(rd.from_arrow(L), rd.from_arrow(R2), "x", "lo", "hi")
+    out2 = range_join_count(
+        rd.from_arrow(L), rd.from_arrow(R2), "x", "lo", "hi",
+        count_by=["a", "b"], n_tiles=4,
+    ).to_pandas()
+    got = {(a, int(b)): int(n)
+           for a, b, n in zip(out2["a"], out2["b"], out2["n"])}
+    assert got == {("g1", 1): 6, ("g2", 2): 1}
+
+
 def test_host_key_bracket_urls_skipped():
     """urlparse RAISES on mismatched-bracket netlocs — those rows must get
     no host key (the old scalar path skipped them); bracketed IPv6 hosts

@@ -332,3 +332,84 @@ def test_unpickler_refuses_dangerous_builtins(tmp_path):
     blob = pickle.dumps({"a": {1, 2}, "b": (1.5, b"x")})
     import io
     assert _SettingsUnpickler(io.BytesIO(blob)).load()["a"] == {1, 2}
+
+
+def test_unpickler_refuses_numpy_gadgets():
+    """The allowlist is exact (module, name) pairs, not a numpy.* prefix:
+    importable shell/eval gadgets inside numpy (distutils exec_command,
+    f2py.compile, numpy.load with allow_pickle) must be refused."""
+    import io
+    import pickle
+    import pickletools  # noqa: F401  (documentational)
+
+    import pytest
+
+    from tools.convert_settings import _SettingsUnpickler
+
+    def global_pickle(module: str, name: str) -> bytes:
+        # hand-build GLOBAL module name; REDUCE-free so the refusal is
+        # the find_class gate itself, not a downstream call failure
+        mod, nm = module.encode(), name.encode()
+        return b"\x80\x02c" + mod + b"\n" + nm + b"\n."
+
+    for module, name in [
+        ("numpy.distutils.exec_command", "exec_command"),
+        ("numpy.f2py", "compile"),
+        ("numpy.lib.npyio", "load"),
+        ("numpy", "load"),
+        ("numpy.testing", "assert_equal"),
+        ("functools", "reduce"),
+        ("collections.abc", "Callable"),
+    ]:
+        with pytest.raises(pickle.UnpicklingError, match="refused"):
+            _SettingsUnpickler(io.BytesIO(global_pickle(module, name))).load()
+
+    # the real constructors numpy pickles need still resolve
+    import numpy as np
+
+    arr = np.arange(5, dtype=np.float64)
+    out = _SettingsUnpickler(io.BytesIO(pickle.dumps(arr))).load()
+    assert (out == arr).all() and out.dtype == np.float64
+    sc = _SettingsUnpickler(io.BytesIO(pickle.dumps(np.float32(2.5)))).load()
+    assert sc == np.float32(2.5)
+
+
+def test_unpickler_getattr_surrogate():
+    """copyreg method reduces (GLOBAL builtins.getattr + REDUCE over a
+    stubbed receiver — the reference registers reduce_method for
+    types.MethodType, datamodel.py:228) must unpickle into an inert stub
+    marker; getattr over any NON-stub receiver stays refused."""
+    import io
+    import pickle
+
+    import pytest
+
+    from tools.convert_settings import _SettingsUnpickler, _stub_getattr
+
+    # hand-built reference-shaped stream:
+    #   getattr(dedupe.variables.string.Thing(), 'compare')
+    # GLOBAL builtins getattr; GLOBAL Thing; EMPTY_TUPLE NEWOBJ (-> stub
+    # instance); unicode 'compare'; TUPLE2; REDUCE
+    raw = (
+        b"\x80\x02cbuiltins\ngetattr\n"
+        b"cdedupe.variables.string\nThing\n)\x81"
+        b"X\x07\x00\x00\x00compare\x86R."
+    )
+    out = _SettingsUnpickler(io.BytesIO(raw)).load()
+    # the stub's __getattr__ fabricated an inert attribute marker
+    assert out.__dict__["_attr_of"] == ("Thing", "compare")
+
+    # real (pickled) stub state is served before fabrication
+    from tools.convert_settings import _stub_class
+
+    inst = _stub_class("dedupe.x", "Y")()
+    inst.__dict__["weights"] = [1.0]
+    assert _stub_getattr(inst, "weights") == [1.0]
+    # absent attrs on a stub fabricate a marker (never raise mid-unpickle)
+    marker = _stub_getattr(inst, "absent")
+    assert marker.__dict__["_attr_of"] == ("Y", "absent")
+
+    # non-stub receivers: refused (getattr must not become a lookup gadget)
+    for receiver in ({"a": 1}, object(), [], "s", int):
+        with pytest.raises(pickle.UnpicklingError, match="non-stub"):
+            _stub_getattr(receiver, "anything")

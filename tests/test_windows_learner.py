@@ -429,6 +429,43 @@ def test_gazetteer_large_index_routes_distributed():
     assert list(out3["id_b"]) == ["c0"]
 
 
+def test_gazetteer_distributed_unindex_int_ids():
+    """Distributed-mode unindex with NON-string record ids must behave like
+    driver mode (ADVICE r4: the removal value_set used to be hard-coded
+    pa.string(), so int ids crashed at match() time in one mode only)."""
+    from ny_campaign_finance_dedupe_ray.pipelines.gazetteer import Gazetteer
+    from ny_campaign_finance_dedupe_ray.stages.blocking import BlockingConfig
+
+    def recs(base, names):
+        n = len(names)
+        return rd.from_arrow(
+            pa.table({
+                "record_id": pa.array(range(base, base + n), pa.int64()),
+                "name": pa.array(names, pa.string()),
+                "street": pa.array(["1 main street"] * n, pa.string()),
+                "city": pa.array(["albany"] * n, pa.string()),
+                "state": pa.array(["ny"] * n, pa.string()),
+                "zip": pa.array(["10001"] * n, pa.string()),
+                "text_norm": pa.array(names, pa.string()),
+            })
+        )
+
+    cfg = BlockingConfig(
+        predicates=[P.StringPredicate(P.first_token, "name")], minhash_column=None
+    )
+    names = ["mary smith", "robert jones"] + [f"filler person{i}" for i in range(8)]
+    g = Gazetteer(cfg=cfg, max_index_rows=5)
+    g.index(recs(0, names))
+    assert g._canonical is None  # distributed route taken
+    out = g.match(recs(1000, ["mary smyth"]), threshold=0.5).to_pandas()
+    # pair keys are stringified by the pair stage; the fix under test is the
+    # CANONICAL-side removal filter, which must match in int64
+    assert list(out["id_b"]) == ["0"]
+    g.unindex([0])  # int id, not "0" — used to raise ArrowTypeError here
+    out2 = g.match(recs(1000, ["mary smyth"]), threshold=0.5).to_pandas()
+    assert len(out2) == 0
+
+
 def test_exact_quantiles_matches_numpy(ray_session):
     """Histogram-refinement quantiles == numpy 'linear' (quantile_cont)
     bit-exactly, grouped and global, with NaNs/nulls excluded."""

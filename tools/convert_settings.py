@@ -38,14 +38,36 @@ _repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-# module prefixes that are SAFE to import for real during unpickling
-_REAL_PREFIXES = (
-    "numpy",
-    "builtins",
-    "collections",
-    "copyreg",
-    "functools",
-)
+# Exact (module, name) globals that are SAFE to import for real during
+# unpickling — the constructors numpy / collections / copyreg pickles
+# actually emit.  A PREFIX allowlist ("anything under numpy.*") is not
+# safe: numpy ships importable shell/eval gadgets
+# (numpy.distutils.exec_command.exec_command, numpy.f2py.compile,
+# numpy.load with allow_pickle), so everything outside this exact list is
+# stubbed (reference/third-party modules) or refused (stdlib/numpy
+# modules, where a stub could silently corrupt weights).
+_SAFE_GLOBALS = {
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy.core.numeric", "_frombuffer"),
+    # numpy 2.x pickles spell the private core package differently
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy._core.numeric", "_frombuffer"),
+    ("collections", "OrderedDict"),
+    ("collections", "defaultdict"),
+    ("collections", "deque"),
+    ("collections", "Counter"),
+    ("copyreg", "_reconstructor"),
+    ("functools", "partial"),
+}
+
+# module roots where an unknown global must be REFUSED rather than
+# stubbed: a stub standing in for a real numpy/stdlib constructor would
+# deserialize garbage weights instead of failing loudly
+_REFUSE_ROOTS = {"numpy", "collections", "copyreg", "functools", "builtins"}
 
 
 class ConversionError(ValueError):
@@ -110,18 +132,50 @@ _SAFE_BUILTINS = {
 }
 
 
+def _stub_getattr(obj, name, *default):
+    """Restricted surrogate for builtins.getattr: the reference registers
+    copyreg.pickle(types.MethodType, reduce_method) (reference
+    datamodel.py:228), so legitimate settings pickles reduce bound methods
+    as GLOBAL builtins.getattr + REDUCE.  Real getattr would be an
+    arbitrary-attribute-lookup gadget; this surrogate only performs the
+    lookup when the receiver is one of our capture stubs (where
+    _StubBase.__getattr__ fabricates an inert marker) and refuses any
+    other receiver."""
+    cls = obj if isinstance(obj, type) else type(obj)
+    if not (isinstance(cls, type) and issubclass(cls, (_StubBase, _TupleStub))):
+        raise pickle.UnpicklingError(
+            "settings pickle calls getattr on a non-stub receiver "
+            f"({type(obj).__name__}) — refused"
+        )
+    try:
+        return getattr(obj, name)
+    except AttributeError:
+        if default:
+            return default[0]
+        raise
+
+
 class _SettingsUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        if module.split(".")[0] == "builtins":
-            if name not in _SAFE_BUILTINS:
-                raise pickle.UnpicklingError(
-                    f"settings pickle requests builtins.{name} — refused "
-                    "(only plain constructors are allowed)"
-                )
-            return getattr(__import__("builtins"), name)
-        if module.split(".")[0] in [p.split(".")[0] for p in _REAL_PREFIXES]:
+        root = module.split(".")[0]
+        if root == "builtins":
+            if name == "getattr":
+                return _stub_getattr
+            if name in _SAFE_BUILTINS:
+                return getattr(__import__("builtins"), name)
+            raise pickle.UnpicklingError(
+                f"settings pickle requests builtins.{name} — refused "
+                "(only plain constructors are allowed)"
+            )
+        if (module, name) in _SAFE_GLOBALS:
             __import__(module)
             return getattr(sys.modules[module], name)
+        if root in _REFUSE_ROOTS:
+            raise pickle.UnpicklingError(
+                f"settings pickle requests {module}.{name} — refused "
+                "(not in the exact constructor allowlist; extend "
+                "_SAFE_GLOBALS if a legitimate settings file needs it)"
+            )
         return _stub_class(module, name)
 
 
