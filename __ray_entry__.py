@@ -111,6 +111,51 @@ def _q_record_link(sf_dir: str):
     return links.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_gazette_distributed(sf_dir: str):
+    """§2.4 Gazetteer END-TO-END with the canonical side past
+    ``max_index_rows`` (VERDICT r4 #6): the distributed index route —
+    canonical records stay a Dataset, nothing corpus-sized on the driver —
+    provably taken (asserted in-query: a driver-mode fallback fails this
+    query, and CORRECTNESS with it).  Canonical side = each seeded entity's
+    first page, messy side = its perturbed copies; top-1 canonical link per
+    messy record.  Deterministic; rows-only + snapshot hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray import synth
+    from ny_campaign_finance_dedupe_ray.pipelines.dedupe_pages import pages_to_records
+    from ny_campaign_finance_dedupe_ray.pipelines.gazetteer import Gazetteer
+    from ny_campaign_finance_dedupe_ray.stages.blocking import default_config
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    fx = synth.generate(n_entities=max(n_docs // 2, 50), seed=42)
+    records = pages_to_records(
+        rd.from_arrow(fx["pages"]).repartition(8)
+    ).materialize()
+
+    def side_of(t: pa.Table, want_first: bool) -> pa.Table:
+        is_first = pc.ends_with(t.column("record_id"), pattern="/p0")
+        return t.filter(is_first if want_first else pc.invert(is_first))
+
+    canonical = records.map_batches(
+        lambda t: side_of(t, True), batch_format="pyarrow"
+    )
+    messy = records.map_batches(
+        lambda t: side_of(t, False), batch_format="pyarrow"
+    )
+    # cap far below the canonical count at every sf (>= 50 entities) so
+    # the distributed branch is the one under test
+    g = Gazetteer(cfg=default_config(), max_index_rows=20)
+    g.index(canonical)
+    assert g.is_distributed, "gazetteer took the driver route — test void"
+    links = g.match(messy, threshold=0.5, n_matches=1).to_pandas()
+    links["score"] = links["score"].astype("float64").round(6)
+    return links.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_canonical_reps(sf_dir: str):
     """§2.9 canonicalization through the driver contract: the profile
     flagship's clusters -> one affine-gap-centroid canonical record per
@@ -692,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts": _q_event_type_counts,
         "pricing_summary": _q_pricing_summary,
         "gazette_top_orders": _q_gazette_top_orders,
+        "gazette_distributed": _q_gazette_distributed,
         "supplier_region_stats": _q_supplier_region_stats,
         "part_type_revenue": _q_part_type_revenue,
         "ann_topk": _q_ann_topk,

@@ -52,6 +52,12 @@ class Gazetteer:
         # deferred filter
         self._unindexed: dict = {}
 
+    @property
+    def is_distributed(self) -> bool:
+        """True once the canonical side crossed ``max_index_rows`` and
+        lives as a Dataset (nothing corpus-sized on the driver)."""
+        return self._canonical is None and self._canonical_ds is not None
+
     # -- indexing ----------------------------------------------------------
 
     def index(self, canonical: "ray.data.Dataset") -> None:

@@ -21,6 +21,7 @@ NO_ORACLE = [
     "dedupe_profiles",
     "canonical_reps",
     "record_link",
+    "gazette_distributed",
     "minhash_clusters",
     "simhash_signatures",
     "lang_id",
@@ -36,6 +37,7 @@ NO_ORACLE = [
 EXPECTED = {
     "canonical_reps": "ff157af9fb6017b78ef4ee337a7d15d5e59854536de7e56c8fb8e5697d4d1b7e",
     "record_link": "34d21986843601a511de7bc27f068a6da5b5090a59b4e93469cdb9acbf4751ae",
+    "gazette_distributed": "f371a9bd564651363346858f68420afe468fc9241b73ac3a098ca89b7486b215",
     "dedupe_profiles": "9402983008e2564d9cbe43fb641790db27685baa346d4d02bb2e676b47d72e7f",
     "dedupe_pages": "bbd677bafcbc979661a849b237d4b50ac2e3682d4fa87ba6be77247d3a938d31",
     "minhash_clusters": "6de903d6aec1f5de32edc8f056eeffc84dbc2d35caa19fb064afc3e618a415ea",
