@@ -18,7 +18,6 @@ out ShuffleStrategy.HASH_SHUFFLE here — see bench.py note).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -40,8 +39,10 @@ def bucketed_join(
     NULL keys follow SQL equi-join semantics: they never match anything.
     Null-key rows are dropped for sides an inner join would drop, and kept
     as unmatched rows on the preserved side(s) of left/right/outer joins.
-    Column dtypes are preserved end-to-end (a final cast undoes pandas'
-    NaN-driven int->float widening on null-filled columns)."""
+    Column dtypes are preserved end-to-end: the per-bucket merge is an
+    Arrow hash join (``pa.Table.join``, single-threaded inside the Ray
+    task), so null-filled integer columns stay integer — no pandas NaN
+    widening, no precision loss on 64-bit values."""
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError("how must be 'inner', 'left', 'right' or 'outer'")
 
@@ -107,42 +108,25 @@ def bucketed_join(
     )
 
     out_cols = [on, *l_cols, *r_cols]
+    arrow_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g[g["_side"] == "l"][[on, *l_cols]]
-        rt = g[g["_side"] == "r"][[on, *r_cols]]
-        # null keys must not match each other (pandas merge matches NaN to
-        # NaN): split them out, merge the clean parts, append unmatched
-        l_null = lt[lt[on].isna()]
-        r_null = rt[rt[on].isna()]
-        parts = [lt[lt[on].notna()].merge(rt[rt[on].notna()], on=on, how=how)]
-        if keep_l_nulls and len(l_null):
-            parts.append(l_null.reindex(columns=out_cols))
-        if keep_r_nulls and len(r_null):
-            parts.append(r_null.reindex(columns=out_cols))
-        return pd.concat(parts, ignore_index=True)[out_cols]
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow hash join per bucket: SQL null semantics built in (null
+        # keys never match each other; preserved-side null-key rows stay
+        # as unmatched output rows), exact dtypes throughout.
+        side = g.column("_side")
+        lt = g.filter(pc.equal(side, "l")).select([on, *l_cols])
+        rt = g.filter(pc.equal(side, "r")).select([on, *r_cols])
+        return lt.join(
+            rt, keys=on, join_type=arrow_how, use_threads=False
+        ).select(out_cols)
 
-    out_types = {on: l_types[on]}
-    out_types.update({c: l_types[c] for c in l_cols})
-    out_types.update({c: r_types[c] for c in r_cols})
-
-    def cast_back(t: pa.Table) -> pa.Table:
-        # pandas widens null-filled int columns to float; non-null values
-        # stay exactly integral, so the cast back to the source Arrow type
-        # is lossless
-        cols = {}
-        for c in out_cols:
-            col = t.column(c)
-            if col.type != out_types[c]:
-                col = col.cast(out_types[c])
-            cols[c] = col
-        return pa.table(cols)
-
-    return (
-        unioned.groupby("_bucket")
-        .map_groups(merge, batch_format="pandas")
-        .map_batches(cast_back, batch_format="pyarrow")
-    )
+    return unioned.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def asof_join(
@@ -156,10 +140,15 @@ def asof_join(
     """As-of join: each left row picks the right row with the greatest
     ``on_ts`` strictly below (or equal, with ``allow_exact_matches``) its
     own, per ``on_key`` — the operator Ray Data lacks natively, expressed
-    as key-hash co-location + one vectorized ``pd.merge_asof`` per bucket.
+    as key-hash co-location + one vectorized backward search per bucket
+    (all-Arrow: key codes x timestamp ranks form a composite int64 order,
+    one ``searchsorted`` resolves every left row, ``Table.take`` gathers
+    the right payload — exact dtypes end-to-end, no pandas round-trip).
     Partitioning assumption: all rows of a key land in one bucket (hash
     co-location), so per-bucket backward search is globally correct.
-    Unmatched left rows keep nulls (left-join semantics)."""
+    Unmatched left rows keep nulls (left-join semantics); null keys or
+    timestamps never match (right rows with nulls are never picked, left
+    rows with nulls stay as unmatched output rows)."""
     l_schema, r_schema = left.schema(), right.schema()
 
     def _pa_type(t) -> pa.DataType:
@@ -215,37 +204,64 @@ def asof_join(
     )
 
     out_cols = [on_key, on_ts, *l_cols, *r_cols]
+    ts_int_mode = _int64able(l_types[on_ts]) and _int64able(r_types[on_ts])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g[g["_side"] == "l"][[on_key, on_ts, *l_cols]]
-        rt = g[g["_side"] == "r"][[on_key, on_ts, *r_cols]]
-        # SQL semantics for nulls: a null key or timestamp never matches.
-        # Right-side rows with nulls can never be picked; left-side rows
-        # with nulls stay (left-join) but unmatched — and merge_asof rejects
-        # nulls in its keys, so both are split out rather than merged.
-        l_null = lt[lt[on_key].isna() | lt[on_ts].isna()]
-        lt = lt[lt[on_key].notna() & lt[on_ts].notna()].sort_values(
-            on_ts, kind="mergesort"
-        )
-        rt = rt[rt[on_key].notna() & rt[on_ts].notna()].sort_values(
-            on_ts, kind="mergesort"
-        )
-        out = pd.merge_asof(
-            lt,
-            rt,
-            on=on_ts,
-            by=on_key,
-            direction="backward",
-            allow_exact_matches=allow_exact_matches,
-        )
-        if len(l_null):
-            out = pd.concat(
-                [out[out_cols], l_null.reindex(columns=out_cols)],
-                ignore_index=True,
-            )
-        return out[out_cols]
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        lt = g.filter(pc.equal(side, "l"))
+        rt = g.filter(pc.equal(side, "r"))
 
-    return unioned.groupby("_bucket").map_groups(merge, batch_format="pandas")
+        # right rows with a null key or timestamp can never be picked
+        r_ts_all, r_ts_ok = _num_extract(rt.column(on_ts), ts_int_mode)
+        r_ok = rt.column(on_key).is_valid().to_numpy(zero_copy_only=False) & r_ts_ok
+        rt = rt.filter(pa.array(r_ok))
+        r_ts = r_ts_all[r_ok]
+
+        l_ts, l_ts_ok = _num_extract(lt.column(on_ts), ts_int_mode)
+        l_ok = lt.column(on_key).is_valid().to_numpy(zero_copy_only=False) & l_ts_ok
+
+        rpay_cols: dict[str, pa.Array]
+        if rt.num_rows == 0 or lt.num_rows == 0:
+            rpay_cols = {c: pa.nulls(lt.num_rows, r_types[c]) for c in r_cols}
+        else:
+            # shared key codes across both sides (string view, like the
+            # bucket hash); null keys were masked out above so the fill
+            # sentinel never creates a spurious match
+            lk = lt.column(on_key).cast(pa.string()).fill_null("")
+            rk = rt.column(on_key).cast(pa.string()).fill_null("")
+            if isinstance(lk, pa.ChunkedArray):
+                lk = lk.combine_chunks()
+            if isinstance(rk, pa.ChunkedArray):
+                rk = rk.combine_chunks()
+            enc = pa.concat_arrays([lk, rk]).dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            l_code, r_code = codes[: lt.num_rows], codes[lt.num_rows:]
+
+            # composite order: key code major, timestamp RANK minor — ranks
+            # keep the composite in int64 regardless of ts dtype/scale
+            uts = np.unique(np.concatenate([l_ts, r_ts]))
+            l_rank = np.searchsorted(uts, l_ts)
+            r_rank = np.searchsorted(uts, r_ts)
+            m = np.int64(len(uts) + 1)
+            order = np.lexsort((r_rank, r_code))
+            rcomp = r_code[order] * m + r_rank[order]
+            lcomp = l_code * m + l_rank
+            side_kw = "right" if allow_exact_matches else "left"
+            pos = np.searchsorted(rcomp, lcomp, side=side_kw) - 1
+            safe = np.maximum(pos, 0)
+            matched = (pos >= 0) & l_ok & (r_code[order][safe] == l_code)
+            ridx = order[safe]
+            take = pa.array(ridx, pa.int64(), mask=~matched)
+            rpay = rt.select(r_cols).take(take) if r_cols else None
+            rpay_cols = {c: rpay.column(c) for c in r_cols} if r_cols else {}
+
+        cols = {on_key: lt.column(on_key), on_ts: lt.column(on_ts)}
+        for c in l_cols:
+            cols[c] = lt.column(c)
+        cols.update(rpay_cols)
+        return pa.table(cols).select(out_cols)
+
+    return unioned.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def _pa_type_of(t) -> pa.DataType:
@@ -295,16 +311,9 @@ def _num_extract(col, int_mode: bool) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _placeholder(n: int, typ: pa.DataType):
-    """Other-side placeholder column: zero-fill int/temporal types so
-    pandas keeps the exact dtype through the groupby (these rows belong to
-    the other side and are never read); a null-smeared int64 becomes
-    float64 and corrupts values above 2^53.  Types Arrow can't cast 0 into
-    (date32/time32) fall back to nulls."""
-    if _intlike(typ):
-        try:
-            return pc.fill_null(pa.nulls(n, typ), pa.scalar(0).cast(typ))
-        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
-            return pa.nulls(n, typ)
+    """Other-side placeholder column (typed nulls): these rows belong to
+    the other side and are never read; the merge stage is all-Arrow, so
+    nulls survive the shuffle without any dtype widening."""
     return pa.nulls(n, typ)
 
 
@@ -376,14 +385,9 @@ def range_join(
     Numerics: when value/lo/hi are all temporal or integer the whole
     join (tiling AND containment) runs in exact int64 arithmetic — a
     timestamp[ns] key never rounds through float64; mixed/float keys use
-    float64.  Other-side placeholder columns are zero-filled (not null)
-    for integer/temporal types so pandas keeps their exact dtype through
-    the tile groupby (a null-smeared int64 becomes float64 and corrupts
-    values above 2^53); genuine nulls in the INPUT's own integer columns
-    still take the float64 round-trip and are restored to null — KNOWN
-    LIMIT: the non-null values of such a nulls-containing integer column
-    lose precision above 2^53 in that round-trip (use a null-free id
-    column, or a string id, for full-range 64-bit keys).
+    float64.  The per-tile merge is all-Arrow (``Table.take`` gathers),
+    so every payload column — including nullable int64 with values above
+    2^53 — keeps its exact type and values end-to-end.
 
     Output: left columns + right columns (name collisions raise).
     """
@@ -475,52 +479,41 @@ def range_join(
         )
     )
     out_cols = [*l_cols, *r_cols]
+    out_types = {**l_types, **r_types}
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pa.Table) -> pa.Table:
         from ..functions.hashing import _ranges
 
-        lt = g[g["_side"] == "l"]
-        rt = g[g["_side"] == "r"]
-        if lt.empty or rt.empty:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=g[c].dtype) for c in out_cols}
-            )
-        v = lt["_v"].to_numpy()
+        side = g.column("_side")
+        lt = g.filter(pc.equal(side, "l"))
+        rt = g.filter(pc.equal(side, "r"))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({c: pa.array([], out_types[c]) for c in out_cols})
+        v = lt.column("_v")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
         vs = v[order]
-        starts = np.searchsorted(vs, rt["_lo"].to_numpy(), side="left")
-        ends = np.searchsorted(vs, rt["_hi"].to_numpy(), side="right")
+        lo = rt.column("_lo").to_numpy(zero_copy_only=False)
+        hi = rt.column("_hi").to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(vs, lo, side="left")
+        ends = np.searchsorted(vs, hi, side="right")
         counts = np.maximum(ends - starts, 0)
-        ridx = np.repeat(np.arange(len(rt), dtype=np.int64), counts)
-        lidx = order[np.repeat(starts, counts) + _ranges(counts)]
-        out = {}
-        for c in l_cols:
-            out[c] = lt[c].to_numpy()[lidx]
-        for c in r_cols:
-            out[c] = rt[c].to_numpy()[ridx]
-        return pd.DataFrame(out)
-
-    merged = unioned.groupby("_tile").map_groups(merge, batch_format="pandas")
-
-    def cast_back(t: pa.Table) -> pa.Table:
-        types = {**l_types, **r_types}
+        ridx = pa.array(np.repeat(np.arange(rt.num_rows, dtype=np.int64), counts))
+        lidx = pa.array(order[np.repeat(starts, counts) + _ranges(counts)])
+        # Arrow take gathers exact types — nullable int64 payloads above
+        # 2^53 included — with no float round-trip anywhere
         cols = {}
-        for c in out_cols:
-            col = t.column(c)
-            if col.type != types[c]:
-                if pa.types.is_floating(col.type) and _intlike(types[c]):
-                    # genuine input nulls took the pandas float round-trip
-                    # as NaN — restore null before the integer cast
-                    if isinstance(col, pa.ChunkedArray):
-                        col = col.combine_chunks()
-                    col = pc.if_else(
-                        pc.is_nan(col), pa.scalar(None, col.type), col
-                    )
-                col = col.cast(types[c])
-            cols[c] = col
+        ltake = lt.select(l_cols).take(lidx)
+        rtake = rt.select(r_cols).take(ridx)
+        for c in l_cols:
+            cols[c] = ltake.column(c)
+        for c in r_cols:
+            cols[c] = rtake.column(c)
         return pa.table(cols)
 
-    return merged.map_batches(cast_back, batch_format="pyarrow")
+    return unioned.groupby("_tile").map_groups(merge, batch_format="pyarrow")
 
 
 def range_join_count(

@@ -554,3 +554,75 @@ def test_host_key_bracket_urls_skipped():
     cfg = blocking.BlockingConfig(predicates=[], minhash_column=None, host_key=True)
     out = blocking.block_records(_records(rows), cfg).to_pandas()
     assert set(out["block_key"]) == {"host:good.example.com"}
+
+
+def test_joins_nullable_int64_above_2_53_exact(ray_session):
+    """The old KNOWN LIMIT is gone: a NULLS-CONTAINING int64 payload column
+    with values above 2^53 survives range_join, bucketed_join and asof_join
+    bit-exact (the merges are all-Arrow now — no pandas float round-trip)."""
+    import ray.data as rd
+
+    from ny_campaign_finance_dedupe_ray.stages.joins import (
+        asof_join, bucketed_join, range_join,
+    )
+
+    big = 2 ** 53 + 987_654_321  # collapses under any float64 round-trip
+    L = pa.table({
+        "x": pa.array([1.0, 2.0, 3.0]),
+        "payload": pa.array([big, None, big + 7], pa.int64()),
+    })
+    R = pa.table({
+        "lo": pa.array([0.0, 2.5]),
+        "hi": pa.array([1.5, 9.0]),
+        "rbig": pa.array([None, big + 1], pa.int64()),
+    })
+    import ray as _ray
+
+    def _collect(ds):
+        # empty shuffle partitions yield zero-field placeholder blocks
+        tabs = [_ray.get(r) for r in ds.to_arrow_refs()]
+        return pa.concat_tables([t for t in tabs if t.num_columns > 0])
+
+    t = _collect(range_join(
+        rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi", n_tiles=4
+    ))
+    got = sorted(
+        (x, p, rb) for x, p, rb in zip(
+            t["x"].to_pylist(), t["payload"].to_pylist(), t["rbig"].to_pylist()
+        )
+    )
+    assert got == [(1.0, big, None), (3.0, big + 7, big + 1)]
+    assert t.schema.field("payload").type == pa.int64()
+
+    # bucketed outer join: null-filled int64 columns stay int64 and exact
+    BL = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "lv": pa.array([big, None], pa.int64()),
+    }))
+    BR = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3], pa.int64()),
+        "rv": pa.array([big + 3, big + 4], pa.int64()),
+    }))
+    tj = _collect(bucketed_join(BL, BR, on="k", how="outer"))
+    assert tj.schema.field("lv").type == pa.int64()
+    assert tj.schema.field("rv").type == pa.int64()
+    rows = {r["k"]: (r["lv"], r["rv"]) for r in tj.to_pylist()}
+    assert rows == {1: (big, None), 2: (None, big + 3), 3: (None, big + 4)}
+
+    # asof: big int64 right payload gathered exactly; null key/ts semantics
+    AL = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", None], pa.string()),
+        "ts": pa.array([10, 20, 30], pa.int64()),
+        "lv": pa.array([1, 2, 3], pa.int64()),
+    }))
+    AR = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a"], pa.string()),
+        "ts": pa.array([5, 15, None], pa.int64()),
+        "rv": pa.array([big + 10, big + 20, big + 30], pa.int64()),
+    }))
+    ta = _collect(asof_join(AL, AR, on_key="k", on_ts="ts"))
+    assert ta.schema.field("rv").type == pa.int64()
+    by_lv = {r["lv"]: r["rv"] for r in ta.to_pylist()}
+    # ts=10 -> right ts=5; ts=20 -> right ts=15; null key -> unmatched;
+    # the null-ts right row is never picked
+    assert by_lv == {1: big + 10, 2: big + 20, 3: None}
