@@ -622,3 +622,35 @@ def _decode_scan(
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def is_baseline(payload: bytes) -> bool:
+    """Cheap header scan: True when the stream's frame marker is baseline
+    (SOF0/SOF1) — what ``decode_jpeg`` handles.  Progressive (SOF2),
+    arithmetic and hierarchical frames return False so the capability
+    router sends them to a codec pool BEFORE a decode actor sees them.
+    Malformed streams return False (they would not decode either)."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        return False
+    pos, n = 2, len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            return False
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+            return False
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xC0, 0xC1):
+            return True
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            return False
+        if pos + 2 > n:
+            return False
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > n:
+            return False
+        pos += seglen
+    return False

@@ -11,11 +11,15 @@ library):
   array + sample rate -> features (duration, rms, zero-crossing rate, FFT
   band energies).
 
-Compressed formats (JPEG/PNG/MP3/MP4...) genuinely need codec libraries that
-are not in this container: for those mimes the actors raise
+Compressed formats decode natively where a pure-python/numpy codec is
+feasible from the public spec: baseline JPEG (``functions/jpeg.py``),
+PNG (``functions/png.py`` — zlib + the five scanline filters), and
+MJPEG-in-BMFF video (``demux_mjpeg``).  Remaining formats (progressive
+JPEG, interlaced/16-bit PNG, MP3, H.264...) genuinely need codec
+libraries that are not in this container: for those the actors raise
 ``NotImplementedError`` unless constructed with ``fake=True``, which
-substitutes a deterministic pseudo-feature seeded from the payload bytes so
-the Ray-side plumbing stays testable for any mime.
+substitutes a deterministic pseudo-feature seeded from the payload bytes
+so the Ray-side plumbing stays testable for any mime.
 
 Scale notes: binary payloads are wide, so these stages run with SMALL batch
 sizes and ``batch_format='pyarrow'`` (binary columns don't round-trip pandas
@@ -50,7 +54,7 @@ MEDIA_SCHEMA = pa.schema(
 # it (the VERDICT r2 'honest at scale' flag).
 NATIVE_MIMES: frozenset = frozenset(
     {"image/x-portable-pixmap", "image/ppm", "image/jpeg", "image/jpg",
-     "audio/wav", "audio/x-wav", "audio/wave"}
+     "image/png", "audio/wav", "audio/x-wav", "audio/wave"}
 )
 
 
@@ -58,7 +62,20 @@ def _payload_native(kind: str, payload: bytes | None) -> bool:
     if not payload:
         return False
     if kind == "image":
-        return payload.startswith(b"P6") or payload.startswith(b"\xff\xd8")
+        if payload.startswith(b"P6"):
+            return True
+        if payload.startswith(b"\xff\xd8"):
+            # progressive/arithmetic frames are NOT native — route them to
+            # a codec pool up front instead of crashing the decode actor
+            from ..functions.jpeg import is_baseline
+
+            return is_baseline(payload)
+        from ..functions.png import PNG_SIGNATURE, png_native
+
+        if payload.startswith(PNG_SIGNATURE):
+            # same story: interlaced / 16-bit PNG routes to the codec pool
+            return png_native(payload)
+        return False
     if kind == "audio":
         return payload.startswith(b"RIFF")
     if kind == "video":
@@ -74,27 +91,21 @@ def _payload_native(kind: str, payload: bytes | None) -> bool:
 
 
 def annotate_decodable(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Append ``codec_supported``: True when the row decodes natively
-    (mime in NATIVE_MIMES, or payload magic for PPM/RIFF when the mime
-    column is missing/None).  Pipelines filter or route on it up front —
-    ``ds.filter(expr="codec_supported")`` feeds the real decoders, the
-    rest goes to a codec-equipped pool or a reject sink."""
+    """Append ``codec_supported``: True when the row's PAYLOAD decodes
+    natively (PPM / baseline JPEG / supported PNG / WAV / MJPEG-BMFF,
+    judged by structure inspection, never by mime).  Pipelines filter or
+    route on it up front — ``ds.filter(expr="codec_supported")`` feeds
+    the real decoders, the rest goes to a codec-equipped pool or a
+    reject sink."""
 
     def ann(t: pa.Table) -> pa.Table:
         kinds = t.column("kind").to_pylist()
-        mimes = (
-            t.column("mime").to_pylist()
-            if "mime" in t.schema.names
-            else [None] * t.num_rows
-        )
         payloads = t.column("payload").to_pylist()
-        # mime can declare native support outright, but container mimes
-        # (video/mp4) say nothing about the codec inside — always also
-        # peek at the payload structure
-        ok = [
-            (m in NATIVE_MIMES) or _payload_native(k, p)
-            for k, m, p in zip(kinds, mimes, payloads)
-        ]
+        # ROUTE ON THE PAYLOAD, not the mime: a mime says nothing about
+        # the mode inside (image/jpeg may be progressive, image/png
+        # interlaced, video/mp4 any codec), and a payload-less row cannot
+        # be decoded no matter what its mime claims.
+        ok = [_payload_native(k, p) for k, p in zip(kinds, payloads)]
         return t.append_column("codec_supported", pa.array(ok, pa.bool_()))
 
     return ds.map_batches(ann, batch_format="pyarrow")
@@ -216,18 +227,25 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 class DecodeImage:
     """Actor: decode + resize + feature-extract an image payload column.
 
-    PPM (P6) and baseline JPEG payloads decode for real (``decode_ppm``,
-    ``functions/jpeg.decode_jpeg`` — a pure-numpy T.81 baseline decoder,
-    4:4:4/4:2:2/4:2:0/grayscale/restart markers); other compressed mimes
-    (PNG, progressive JPEG, video codecs) raise NotImplementedError
-    unless ``fake=True`` substitutes the deterministic pseudo-feature."""
+    PPM (P6), baseline JPEG and PNG payloads decode for real
+    (``decode_ppm``; ``functions/jpeg.decode_jpeg`` — a pure-numpy T.81
+    baseline decoder, 4:4:4/4:2:2/4:2:0/grayscale/restart markers;
+    ``functions/png.decode_png`` — zlib + all five scanline filters,
+    gray/RGB/palette/alpha); modes outside the native envelope
+    (progressive JPEG, interlaced/16-bit PNG, video codecs) raise
+    NotImplementedError unless ``fake=True`` substitutes the
+    deterministic pseudo-feature."""
 
     def __init__(self, target_size: tuple[int, int] = (224, 224),
                  feature_dim: int = 64, fake: bool = False):
         from ..functions.jpeg import UnsupportedJpeg, decode_jpeg
+        from ..functions.png import PNG_SIGNATURE, UnsupportedPng, decode_png_rgb
 
         self._decode_jpeg = decode_jpeg
         self._jpeg_err = UnsupportedJpeg
+        self._decode_png = decode_png_rgb
+        self._png_err = UnsupportedPng
+        self._png_sig = PNG_SIGNATURE
         self.target_size = target_size
         self.feature_dim = feature_dim
         self.fake = fake
@@ -247,6 +265,11 @@ class DecodeImage:
                 else:
                     if img.ndim == 2:
                         img = np.stack([img] * 3, axis=-1)
+            elif p and p.startswith(self._png_sig):
+                try:
+                    img = self._decode_png(p)
+                except self._png_err:
+                    img = None  # interlaced/16-bit -> fake / raise below
             if img is not None:
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
@@ -258,9 +281,9 @@ class DecodeImage:
                 feats.append(_fake_feature(p, self.feature_dim))
             else:
                 raise NotImplementedError(
-                    "only PPM (P6) and baseline JPEG decode natively; "
-                    "construct DecodeImage(fake=True) to pseudo-decode "
-                    "other mimes"
+                    "only PPM (P6), baseline JPEG and non-interlaced "
+                    "8-bit PNG decode natively; construct "
+                    "DecodeImage(fake=True) to pseudo-decode other mimes"
                 )
         return pa.table(
             {
@@ -585,15 +608,36 @@ def sample_frames(
 # deterministic synthetic media (real PPM/WAV payloads)
 # --------------------------------------------------------------------------
 
-def make_ppm(width: int, height: int, seed: int) -> bytes:
-    """A real binary PPM (P6) with a seeded gradient+noise pattern."""
+def _gradient_noise(width: int, height: int, seed: int) -> np.ndarray:
+    """The shared seeded gradient+noise test pattern, (h, w, 3) uint8."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:height, 0:width]
     r = (xx * 255 // max(width - 1, 1)).astype(np.uint8)
     g = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
     b = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
-    img = np.stack([r, g, b], axis=2)
+    return np.stack([r, g, b], axis=2)
+
+
+def make_ppm(width: int, height: int, seed: int) -> bytes:
+    """A real binary PPM (P6) with a seeded gradient+noise pattern."""
+    img = _gradient_noise(width, height, seed)
     return b"P6\n%d %d\n255\n" % (width, height) + img.tobytes()
+
+
+def make_png(width: int, height: int, seed: int, variant: str = "rgb") -> bytes:
+    """A real PNG of the same seeded pattern; ``variant`` exercises the
+    decode color types: 'rgb' (type 2), 'gray' (type 0), 'rgba' (type 6,
+    alpha = horizontal ramp).  Scanline filters cycle 0..4."""
+    from ..functions.png import encode_png
+
+    img = _gradient_noise(width, height, seed)
+    if variant == "gray":
+        return encode_png(img[:, :, 1])
+    if variant == "rgba":
+        alpha = (np.arange(width, dtype=np.uint8) * 7 % 256)[None, :]
+        a = np.broadcast_to(alpha, (height, width)).astype(np.uint8)
+        return encode_png(np.dstack([img, a]))
+    return encode_png(img)
 
 
 def make_wav(duration_s: float, freq_hz: float, sample_rate: int = 8000) -> bytes:
@@ -727,13 +771,25 @@ def synth_video_frames(
 
 def synth_media(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media table with REAL payloads for every kind:
-    PPM images, PCM16 WAV audio, and minimal ISO-BMFF video containers
-    (probe-able metadata; frame decode still needs a codec)."""
+    PPM and PNG images (PNG rotating gray/RGB/RGBA color types), PCM16
+    WAV audio, MJPEG-in-BMFF video (natively decodable end-to-end) and
+    moov-only ISO-BMFF containers (probe-able metadata; frame decode
+    needs a codec)."""
     rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
                             "width", "height", "duration_ms")}
     for i in range(n):
         rows["media_id"].append(f"m{i:05d}")
-        if i % 3 == 0:
+        if i % 6 == 3:
+            # native PNG path: same pattern family as the PPM rows, color
+            # type rotating through gray / RGB / RGBA
+            variant = ("gray", "rgb", "rgba")[(i // 6) % 3]
+            rows["kind"].append("image")
+            rows["mime"].append("image/png")
+            rows["payload"].append(make_png(16, 12, seed + i, variant))
+            rows["width"].append(16)
+            rows["height"].append(12)
+            rows["duration_ms"].append(0)
+        elif i % 3 == 0:
             rows["kind"].append("image")
             rows["mime"].append("image/x-portable-pixmap")
             rows["payload"].append(make_ppm(16, 12, seed + i))

@@ -46,7 +46,8 @@ EXPECTED = {
     "quality_score": "aa888371a3e062e5ed7b345aef2a6dea09a914f994ccd06fecae2c15cf69586d",
     "fingerprints": "398e1bf5972368d931e143fd52250581e3357690e39d09f81c86581165c274ae",
     "embedding_neardup": "946c797c8cc62b9f9977f5f7e71642af9b0ea622682e247e8996db6f3a1d80c4",
-    "media_features": "2a24a296e030e3635cb5c1cbbfe25a49334c93dec5ec469eba3361b2340341b0",
+    # r5: synth_media image slots alternate PPM / native-PNG (gray/rgb/rgba)
+    "media_features": "9176962c5d6b28ca9f2f820d049ac830b1b79e35bfafcdfd18e5bc998e761a17",
     "ann_ivf_topk": "700cde34cc90b3a56c86eb8671d2bd42639f0fd2c4adb8a537123f047a4ec0b0",
     "media_probe": "e0670b63f88e2dc49aba542f1adcfed38c71ff8ff1ab7992d284f160b9e020c0",
 }
