@@ -410,8 +410,9 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal decode end-to-end: deterministic real PPM/WAV payloads
-    (synth_media) -> actor-pool decode stages -> per-item feature summary.
+    """Multimodal decode end-to-end: deterministic real PPM/PNG/WAV/MJPEG
+    payloads (synth_media) -> actor-pool decode stages -> per-item
+    feature summary.
     No media table exists in the testdata, so the input is synthesized
     deterministically at fixed size (not SQL-expressible -> rows-only)."""
     import pyarrow as pa

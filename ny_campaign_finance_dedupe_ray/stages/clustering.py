@@ -190,6 +190,7 @@ def cc_labels(
     edges: "ray.data.Dataset",
     max_iter: int = 25,
     n_buckets: int = 64,
+    stats: dict | None = None,
 ) -> "ray.data.Dataset":
     """EDGES(id_a, id_b) -> LABELS(node, label): the distributed
     connected-components core, as iterative hash-partitioned min-label
@@ -204,6 +205,8 @@ def cc_labels(
     shallow); early exit via a global label fingerprint (sum of
     hash64(node|label) mod 2^40 — two equal consecutive fingerprints =>
     fixpoint).  No driver-side materialization of edges or labels.
+    ``stats`` (optional dict) receives ``cc_rounds`` — the number of
+    propagation rounds actually executed, for run manifests/benchmarks.
     """
     from ray.data.aggregate import Sum
 
@@ -254,7 +257,9 @@ def cc_labels(
         )["fp"]
 
     prev_fp = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         lab_tagged = labels.map_batches(
             lambda t: pa.table(
                 {
@@ -311,6 +316,8 @@ def cc_labels(
         if prev_fp is not None and fp == prev_fp:
             break
         prev_fp = fp
+    if stats is not None:
+        stats["cc_rounds"] = rounds
     return labels
 
 
@@ -364,10 +371,12 @@ def connected_components_distributed(
     max_iter: int = 25,
     max_components: int = 30000,
     n_buckets: int = 64,
+    stats: dict | None = None,
 ) -> "ray.data.Dataset":
     """SCORES -> edges labeled with 'component' via ``cc_labels`` + a
     bucketed label-attach join + the oversized-component refilter."""
-    labels = cc_labels(scores, max_iter=max_iter, n_buckets=n_buckets)
+    labels = cc_labels(scores, max_iter=max_iter, n_buckets=n_buckets,
+                       stats=stats)
 
     # attach labels to edges: bucketed merge on id_a's node
     lab_rows = labels.map_batches(
@@ -452,6 +461,7 @@ def connected_components(
     scores: "ray.data.Dataset",
     max_components: int = 30000,
     mode: str = "auto",
+    stats: dict | None = None,
 ) -> "ray.data.Dataset":
     """SCORES -> edges labeled with 'component'.
 
@@ -463,12 +473,17 @@ def connected_components(
     the whole pipeline and the chosen path would re-run it."""
     if mode == "auto":
         scores = scores.materialize()
-        mode = (
-            "driver" if scores.count() <= DRIVER_CC_EDGE_LIMIT else "distributed"
-        )
+        n_edges = scores.count()
+        mode = "driver" if n_edges <= DRIVER_CC_EDGE_LIMIT else "distributed"
+        if stats is not None:
+            stats["cc_edges"] = n_edges
+    if stats is not None:
+        stats["cc_mode"] = mode
     if mode == "driver":
         return connected_components_driver(scores, max_components)
-    return connected_components_distributed(scores, max_components=max_components)
+    return connected_components_distributed(
+        scores, max_components=max_components, stats=stats
+    )
 
 
 # --------------------------------------------------------------------------

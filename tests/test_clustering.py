@@ -205,3 +205,27 @@ def test_cc_auto_executes_upstream_once(tmp_path):
     assert set(out["component"]) == {"a"}
     # one input block -> exactly one tracked invocation
     assert len(os.listdir(marker_dir)) == 1
+
+
+def test_cc_stats_and_auto_switch_reporting(monkeypatch):
+    """The stats out-param records the auto decision (edge count, mode) and
+    the distributed path's propagation round count — the plumbing the
+    recorded >20M-edge run (tools/cc_scale_run.py) relies on."""
+    stats: dict = {}
+    out = C.connected_components(
+        _scores(G_EDGES), mode="auto", stats=stats
+    ).to_pandas()
+    assert _component_sets(out) == EXPECTED_COMPONENTS
+    assert stats["cc_mode"] == "driver"
+    assert stats["cc_edges"] == len(G_EDGES)
+    assert "cc_rounds" not in stats  # driver path has no rounds
+
+    # force the switch: a tiny limit routes the same graph distributed
+    monkeypatch.setattr(C, "DRIVER_CC_EDGE_LIMIT", 2)
+    stats2: dict = {}
+    out2 = C.connected_components(
+        _scores(G_EDGES), mode="auto", stats=stats2
+    ).to_pandas()
+    assert _component_sets(out2) == EXPECTED_COMPONENTS
+    assert stats2["cc_mode"] == "distributed"
+    assert stats2["cc_rounds"] >= 2  # fixpoint check needs >= 2 rounds
