@@ -16,8 +16,8 @@ clustering.py):
   deterministic, order-free equivalent).
 
 Ray mapping: components via driver union-find for small edge sets or
-distributed iterative min-label propagation (hash-partitioned groupby per
-round, no joins) for large ones; per-component work is a
+distributed min-neighbor edge contraction with pointer-jump compression
+(hash-partitioned groupbys; ``cc_labels``) for large ones; per-component work is a
 ``groupby(component).map_groups`` — components are colocated by the shuffle
 and bounded by the refilter rule.
 """
@@ -173,7 +173,8 @@ def connected_components_driver(
 
 
 # --------------------------------------------------------------------------
-# distributed min-label propagation (scale path)
+# distributed connected components (scale path): edge contraction
+# (default) + min-label propagation (cross-check variant)
 # --------------------------------------------------------------------------
 
 def _node_bucket(t: pa.Table, col: str, n_buckets: int) -> pa.Table:
@@ -186,16 +187,24 @@ def _node_bucket(t: pa.Table, col: str, n_buckets: int) -> pa.Table:
     )
 
 
-def cc_labels(
+def cc_labels_propagation(
     edges: "ray.data.Dataset",
     max_iter: int = 25,
     n_buckets: int = 64,
     stats: dict | None = None,
 ) -> "ray.data.Dataset":
-    """EDGES(id_a, id_b) -> LABELS(node, label): the distributed
-    connected-components core, as iterative hash-partitioned min-label
+    """EDGES(id_a, id_b) -> LABELS(node, label): distributed
+    connected-components as iterative hash-partitioned min-label
     propagation (SURVEY.md §7.6).  ``label`` is the lexicographic-min member
     id as a string (matching the driver union-find's canonical choice).
+
+    This is the simple O(diameter)-round algorithm; it re-shuffles the FULL
+    adjacency every round, so its wall cost is rounds x 2 x |E| rows of
+    exchange regardless of convergence progress.  ``cc_labels`` (the
+    default used by the pipelines) is the edge-contraction variant, which
+    shrinks the shuffled edge set geometrically each round; this version is
+    kept as the independently-implemented cross-check (tests assert
+    contract == propagate == driver on randomized graphs).
 
     Each round is two bucketed shuffles with fully vectorized pandas merges
     inside the bucket tasks (never per-node dispatch):
@@ -318,7 +327,338 @@ def cc_labels(
         prev_fp = fp
     if stats is not None:
         stats["cc_rounds"] = rounds
+        stats["cc_algo"] = "propagate"
     return labels
+
+
+def _rewrite_through(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    keep_cols: list[str],
+    mapping: "ray.data.Dataset",
+    n_buckets: int,
+) -> "ray.data.Dataset":
+    """Rewrite ``ds[key_col]`` through ``mapping(node -> root)``: rows whose
+    key appears in the mapping get the mapped root, others keep their key —
+    one bucketed groupby (the attach pattern), all columns string."""
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        cols = {"_k": t.column(key_col)}
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        cols["_root"] = pa.nulls(t.num_rows, pa.string())
+        return pa.table(cols)
+
+    def tag_map(t: pa.Table) -> pa.Table:
+        cols = {"_k": t.column("node")}
+        for c in keep_cols:
+            cols[c] = pa.nulls(t.num_rows, pa.string())
+        cols["_root"] = t.column("root")
+        return pa.table(cols)
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["_root"].notna()][["_k", "_root"]].drop_duplicates("_k")
+        e = g[g["_root"].isna()][["_k", *keep_cols]]
+        out = e.merge(m, on="_k", how="left")
+        out["_k"] = out["_root"].fillna(out["_k"])
+        return out[["_k", *keep_cols]].rename(columns={"_k": key_col})
+
+    return (
+        ds.map_batches(tag_rows, batch_format="pyarrow")
+        .union(mapping.map_batches(tag_map, batch_format="pyarrow"))
+        .map_batches(
+            lambda t: _node_bucket(t, "_k", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(apply, batch_format="pandas")
+    )
+
+
+_ROWS_PER_BLOCK = 250_000  # ~25 MB of (node, root) string rows
+
+
+def _bounded_mat(ds: "ray.data.Dataset", cap_blocks: int):
+    """Materialize with a size-tracking block count.  The contraction loop
+    derives datasets from unions of earlier groupby outputs; Ray's sort
+    shuffle emits roughly one block per INPUT block, so without coalescing
+    the block count doubles per derivation (the self-union in the
+    pointer-jump is the worst case) and per-task scheduling overhead grows
+    exponentially even as row counts shrink.  Target block count follows
+    the DATA SIZE (rows / ~250k, capped) so a few-hundred-row contracted
+    map is one block, not sixty-four near-empty ones; ``repartition`` with
+    the default ``shuffle=False`` is a local split/merge — no all-to-all —
+    so the coalesce costs one pass over the already-materialized blocks."""
+    m = ds.materialize()
+    rows = m.count()
+    target = min(cap_blocks, max(1, -(-rows // _ROWS_PER_BLOCK)))
+    if m.num_blocks() > 2 * target:
+        m = m.repartition(target).materialize()
+    return m
+
+
+def _map_fingerprint(mapping: "ray.data.Dataset") -> int:
+    """Order- and partitioning-free fingerprint of a (node, root) mapping:
+    sum over ROWS of hash64(node|root) mod 2^36.  The modulus is applied
+    per row (NOT per batch-sum): per-batch modding makes the fingerprint
+    depend on how rows are batched, so the same mapping content under two
+    block layouts fingerprints differently — which turned the pointer-jump
+    fixpoint test into an infinite loop when a coalesce alternated the
+    layout.  Row-level mod keeps per-block partials exact (2^36 x block
+    rows << 2^63) and the total is a pure function of the row multiset."""
+    from ray.data.aggregate import Sum
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        joined = pa.compute.binary_join_element_wise(
+            t.column("node"), t.column("root"), "|"
+        )
+        h = hash64_str(joined) % np.uint64(1 << 36)
+        return pa.table(
+            {"fp": pa.array([int(h.sum(dtype=np.uint64))], pa.int64())}
+        )
+
+    out = mapping.map_batches(fp_batch, batch_format="pyarrow").aggregate(
+        Sum("fp", alias_name="fp")
+    )
+    return 0 if out is None else int(out["fp"] or 0)
+
+
+def cc_labels(
+    edges: "ray.data.Dataset",
+    max_iter: int = 25,
+    n_buckets: int = 64,
+    stats: dict | None = None,
+    algo: str = "contract",
+) -> "ray.data.Dataset":
+    """EDGES(id_a, id_b) -> LABELS(node, label): the distributed
+    connected-components core.  ``label`` is the lexicographic-min member
+    id as a string (matching the driver union-find's canonical choice);
+    every node appearing in the edge list gets a row.
+
+    Default algorithm: **min-neighbor edge contraction** (the star/hash-min
+    contraction family, e.g. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).  Each round over the CURRENT edge set:
+
+      1. ``M(v) = min(v ∪ N(v))`` per node — one bucketed groupby over the
+         2|E| direction-doubled edge rows;
+      2. rewrite every edge to ``(M(a), M(b))`` — two attach-pattern
+         bucketed joins against the non-identity part of M — then drop
+         self-loops and locally dedupe.
+
+    Connectivity is preserved under the quotient, every surviving vertex
+    is an original member id, and the component minimum is a fixed point
+    of M — so when the edge set empties, each component has contracted to
+    exactly its min member.  Labels come from the ROUND-1 mapping (which
+    covers every node) composed with the later rounds' mappings; the later
+    mappings are composed smallest-first, so the per-round bookkeeping
+    shuffles only the (geometrically shrinking) contracted vertex sets and
+    the full node set is touched exactly twice (round 1 + the final
+    compose) — unlike propagation, which re-shuffles the full adjacency
+    every round.  Worst case is still O(diameter) rounds (adversarially
+    ordered paths shrink slowly), same as propagation; near-dup / match
+    graphs are shallow and contract in 1-3 rounds.
+
+    ``max_iter`` bounds the rounds; like the propagation variant, labels
+    for a graph that has not fully contracted by then are the partial
+    quotient (intermediate roots).  Self-loops and edges with a null
+    endpoint are dropped (a null id never links anything, matching SQL
+    semantics; the driver path never sees null ids either); a node whose
+    ONLY incident edges are self-loops therefore gets no label row —
+    every consumer (``attach_labels``, the distributed edge-attach)
+    left-joins labels and defaults a missing node to its own id, which
+    IS that node's component, so the omission is behavior-neutral.
+    (The propagation variant emits identity rows for such nodes; tests
+    comparing the two normalize for this.)
+
+    ``stats`` receives ``cc_rounds`` and ``cc_algo``.  ``algo="propagate"``
+    routes to :func:`cc_labels_propagation` (the independent cross-check
+    implementation).
+    """
+    if algo == "propagate":
+        return cc_labels_propagation(
+            edges, max_iter=max_iter, n_buckets=n_buckets, stats=stats
+        )
+    if algo != "contract":
+        raise ValueError("algo must be 'contract' or 'propagate'")
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.string())
+        b = t.column("id_b").cast(pa.string())
+        keep = pc.not_equal(a, b)  # null endpoints -> null -> dropped
+        return pa.table({"a": a, "b": b}).filter(keep)
+
+    cur = (
+        edges.select_columns(["id_a", "id_b"])
+        .map_batches(norm, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
+            }
+        )
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node")["nbr"].min().reset_index(name="root")
+        m["root"] = np.minimum(m["node"], m["root"])
+        return m[["node", "root"]]
+
+    def nonid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("node"), t.column("root")))
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        df = pd.DataFrame({"a": lo[keep], "b": hi[keep]}).drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(df["a"], pa.string()),
+                "b": pa.array(df["b"], pa.string()),
+            }
+        )
+
+    def dom_merge(g: pd.DataFrame) -> pd.DataFrame:
+        # acc rows win; mapping rows only for nodes new to acc's domain
+        a = g[g["_is_acc"]][["node", "root"]]
+        m = g[~g["_is_acc"]]
+        new = m[~m["node"].isin(set(a["node"]))][["node", "root"]]
+        return pd.concat([a, new], ignore_index=True)
+
+    cap_blocks = 4 * n_buckets
+    m1 = None  # round-1 full mapping (covers every node, incl. identity)
+    acc = None  # composed non-identity mapping of rounds >= 2
+    rounds = 0
+    for _ in range(max_iter):
+        if cur.count() == 0:
+            break
+        rounds += 1
+        mapping = (
+            cur.map_batches(both_dirs, batch_format="pyarrow")
+            .map_batches(
+                lambda t: _node_bucket(t, "node", n_buckets),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket")
+            .map_groups(min_reduce, batch_format="pandas")
+        )
+        # consumed by up to 4 downstream pipelines
+        mapping = _bounded_mat(mapping, cap_blocks)
+        map_nz = _bounded_mat(
+            mapping.map_batches(nonid, batch_format="pyarrow"), cap_blocks
+        )
+        # Pointer-jump M to full path compression (root <- M(root) until
+        # fixpoint): M's non-identity part is a strictly-decreasing forest,
+        # and rewriting edges through the COMPRESSED map collapses each
+        # M-tree to its root in one round — without this, a monotonically
+        # ordered chain contracts by one vertex per round (O(n) rounds);
+        # with it, chain depth halves per jump and rounds are O(log
+        # diameter).  Fixpoint detection is the same sum-of-hashes
+        # fingerprint the propagation variant uses for convergence; a
+        # (2^-40-rare) collision only leaves the map less compressed for
+        # this round — correctness is unaffected, later rounds finish the
+        # contraction.
+        prev_fp = _map_fingerprint(map_nz)
+        for _jump in range(12):  # depth doubles per jump: 2^12 is plenty
+            jumped = _bounded_mat(
+                _rewrite_through(
+                    map_nz, "root", ["node"], map_nz, n_buckets
+                ).map_batches(
+                    lambda t: t.select(["node", "root"]),
+                    batch_format="pyarrow",
+                ),
+                cap_blocks,
+            )
+            fp = _map_fingerprint(jumped)
+            map_nz = jumped
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+        if rounds == 1:
+            # the full round-1 mapping with COMPRESSED roots: identity rows
+            # straight from the groupby output, non-identity rows from the
+            # jumped map (the same map the edges were rewritten through —
+            # an uncompressed m1 here would label single-round components
+            # with a mid-tree parent instead of the root)
+            ident = mapping.map_batches(
+                lambda t: t.filter(
+                    pc.equal(t.column("node"), t.column("root"))
+                ),
+                batch_format="pyarrow",
+            )
+            m1 = ident.union(map_nz)
+        elif acc is None:
+            acc = map_nz
+        else:
+            # compose: stored roots through this round's M, then adopt
+            # M rows for vertices new to the domain — both over the small
+            # contracted sets, never the full node set
+            acc1 = _rewrite_through(acc, "root", ["node"], map_nz, n_buckets)
+
+            def tag(flag):
+                def _t(t: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {
+                            "node": t.column("node"),
+                            "root": t.column("root"),
+                            "_is_acc": pa.array([flag] * t.num_rows, pa.bool_()),
+                        }
+                    )
+
+                return _t
+
+            acc = (
+                acc1.map_batches(tag(True), batch_format="pyarrow")
+                .union(map_nz.map_batches(tag(False), batch_format="pyarrow"))
+                .map_batches(
+                    lambda t: _node_bucket(t, "node", n_buckets),
+                    batch_format="pyarrow",
+                )
+                .groupby("bucket")
+                .map_groups(dom_merge, batch_format="pandas")
+            )
+            acc = _bounded_mat(acc, cap_blocks)
+        cur = (
+            _rewrite_through(
+                _rewrite_through(cur, "a", ["b"], map_nz, n_buckets),
+                "b",
+                ["a"],
+                map_nz,
+                n_buckets,
+            )
+            .map_batches(canon, batch_format="pyarrow")
+        )
+        cur = _bounded_mat(cur, cap_blocks)
+    if stats is not None:
+        stats["cc_rounds"] = rounds
+        stats["cc_algo"] = "contract"
+    if m1 is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "label": pa.array([], pa.string()),
+                }
+            )
+        )
+    labels = m1
+    if acc is not None:
+        labels = _rewrite_through(labels, "root", ["node"], acc, n_buckets)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "label": t.column("root")}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def attach_labels(
@@ -468,7 +808,7 @@ def connected_components(
     mode='auto' collects the edge list to the driver union-find while it is
     small (edges are tens of bytes each; the match-edge set is orders of
     magnitude smaller than the corpus) and switches to the distributed
-    min-label propagation above the limit.  The input is materialized first
+    edge-contraction CC above the limit.  The input is materialized first
     so the upstream DAG executes once — count() on a lazy Dataset would run
     the whole pipeline and the chosen path would re-run it."""
     if mode == "auto":

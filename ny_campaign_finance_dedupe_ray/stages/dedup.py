@@ -474,7 +474,7 @@ def minhash_lsh_clusters(
       'driver' — collect the verified edge set, union-find on the driver,
         broadcast the label map (fine while edges + labels fit in driver
         heap);
-      'distributed' — min-label propagation over bucketed shuffles
+      'distributed' — min-neighbor edge contraction over bucketed shuffles
         (clustering.cc_labels) + a bucketed label-attach join
         (clustering.attach_labels): nothing corpus-sized ever touches the
         driver — the 100-TB path;

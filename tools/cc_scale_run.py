@@ -1,7 +1,7 @@
 """Recorded distributed-CC run ABOVE the 20M-edge auto-switch threshold
 (VERDICT r4 #3): synthesize a >20M-edge corpus (the r2 5-chain + spoke
 generator scaled ~10x), run ``connected_components(mode='auto')`` so the
-switch itself routes to the distributed min-label propagation, and verify
+switch itself routes to the distributed contraction CC, and verify
 partition parity against the driver numpy kernel on the same edges.
 
 Usage:  python tools/cc_scale_run.py [--edges-dir /tmp/cc_edges]
@@ -160,6 +160,7 @@ def main() -> None:
         "labeled_edge_rows": out_count,
         "cc_mode": stats.get("cc_mode"),
         "cc_rounds": stats.get("cc_rounds"),
+        "cc_algo": stats.get("cc_algo"),
         "components_distributed": n_comp_dist,
         "components_driver": n_comp_drv,
         "parity_all_edges": parity,
