@@ -121,30 +121,37 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             rec = rec.reshape(-1)[:stride]
         elif ftype == 2:  # Up
             rec = line + prev  # uint8 wraps mod 256
-        elif ftype == 3:  # Average: sequential in x (left-dependent)
-            rec = np.empty(stride, dtype=np.uint8)
-            li = line.astype(np.int32)
-            pv = prev.astype(np.int32)
+        elif ftype == 3:  # Average: inherently sequential in x
+            # (each byte depends on the just-reconstructed byte one pixel
+            # left, so no numpy scan applies); plain-int lists run the
+            # recurrence ~9x faster than numpy scalar indexing.
+            li = line.tolist()
+            pv = prev.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (li[x] + ((left + pv[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth: sequential in x
-            rec = np.empty(stride, dtype=np.uint8)
-            li = line.astype(np.int32)
-            pv = prev.astype(np.int32)
+                left = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (li[x] + ((left + pv[x]) >> 1)) & 0xFF
+            rec = np.array(rl, dtype=np.uint8)
+        elif ftype == 4:  # Paeth: inherently sequential in x (see above)
+            li = line.tolist()
+            pv = prev.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(pv[x])
-                c = int(pv[x - bpp]) if x >= bpp else 0
+                a = rl[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                c = pv[x - bpp] if x >= bpp else 0
                 p = a + b - c
-                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pa_ = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc_ = p - c if p >= c else c - p
                 if pa_ <= pb and pa_ <= pc_:
                     pred = a
                 elif pb <= pc_:
                     pred = b
                 else:
                     pred = c
-                rec[x] = (li[x] + pred) & 0xFF
+                rl[x] = (li[x] + pred) & 0xFF
+            rec = np.array(rl, dtype=np.uint8)
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = rec

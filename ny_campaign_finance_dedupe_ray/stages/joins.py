@@ -46,20 +46,10 @@ def bucketed_join(
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError("how must be 'inner', 'left', 'right' or 'outer'")
 
-    def _pa_type(t) -> pa.DataType:
-        # pandas-block datasets report numpy dtypes / python classes in
-        # schema().types; normalize to Arrow (object/str columns -> string)
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError, ValueError):
-            return pa.string()
-
     l_schema = left.schema()
     r_schema = right.schema()
-    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
-    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    l_types = {n: _pa_type_of(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type_of(t) for n, t in zip(r_schema.names, r_schema.types)}
     l_cols = [c for c in l_schema.names if c != on]
     r_cols = [c for c in r_schema.names if c != on]
     overlap = set(l_cols) & set(r_cols)
@@ -115,6 +105,16 @@ def bucketed_join(
         "outer": "full outer",
     }[how]
 
+    # Arrow's hash join rejects nested (list/struct/map) NON-KEY columns;
+    # when any payload column is nested, join (key, row-index) tables only
+    # and gather the payloads with take() afterwards — take supports every
+    # type, and the outer joins' null indices gather as null rows.
+    has_nested = any(
+        pa.types.is_nested(tp)
+        for c, tp in {**l_types, **r_types}.items()
+        if c != on
+    )
+
     def merge(g: pa.Table) -> pa.Table:
         # Arrow hash join per bucket: SQL null semantics built in (null
         # keys never match each other; preserved-side null-key rows stay
@@ -122,9 +122,25 @@ def bucketed_join(
         side = g.column("_side")
         lt = g.filter(pc.equal(side, "l")).select([on, *l_cols])
         rt = g.filter(pc.equal(side, "r")).select([on, *r_cols])
-        return lt.join(
-            rt, keys=on, join_type=arrow_how, use_threads=False
-        ).select(out_cols)
+        if not has_nested:
+            return lt.join(
+                rt, keys=on, join_type=arrow_how, use_threads=False
+            ).select(out_cols)
+        li = pa.table(
+            {on: lt.column(on),
+             "_li": pa.array(np.arange(lt.num_rows, dtype=np.int64))}
+        )
+        ri = pa.table(
+            {on: rt.column(on),
+             "_ri": pa.array(np.arange(rt.num_rows, dtype=np.int64))}
+        )
+        j = li.join(ri, keys=on, join_type=arrow_how, use_threads=False)
+        cols = {on: j.column(on)}
+        for c in l_cols:
+            cols[c] = pc.take(lt.column(c), j.column("_li"))
+        for c in r_cols:
+            cols[c] = pc.take(rt.column(c), j.column("_ri"))
+        return pa.table(cols).select(out_cols)
 
     return unioned.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
@@ -150,17 +166,8 @@ def asof_join(
     timestamps never match (right rows with nulls are never picked, left
     rows with nulls stay as unmatched output rows)."""
     l_schema, r_schema = left.schema(), right.schema()
-
-    def _pa_type(t) -> pa.DataType:
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError, ValueError):
-            return pa.string()
-
-    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
-    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    l_types = {n: _pa_type_of(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type_of(t) for n, t in zip(r_schema.names, r_schema.types)}
     shared = (on_key, on_ts)
     l_cols = [c for c in l_schema.names if c not in shared]
     r_cols = [c for c in r_schema.names if c not in shared]
@@ -577,7 +584,10 @@ def range_join_count(
                 "count_by=None requires a right side with only lo/hi "
                 f"columns; found payload columns {extra} — pass count_by"
             )
-    reserved = {"_side", "_tile", "_v", "_lo", "_hi", "_partial", count_name}
+    reserved = {
+        "_side", "_tile", "_v", "_lo", "_hi", "_partial", "_key_str",
+        count_name,
+    }
     bad = reserved & set(by_cols)
     if bad:
         raise ValueError(f"count_by collides with internal names: {sorted(bad)}")
@@ -686,21 +696,32 @@ def range_join_count(
             starts = np.searchsorted(vs, lo, side="left")
             ends = np.searchsorted(vs, hi, side="right")
             partial = np.maximum(ends - starts, 0).astype(np.int64)
-        parts_str = [
-            rt.column(c).cast(pa.string()).fill_null("\x00null")
-            for c in by_cols
-        ] or [pa.array([""] * rt.num_rows, pa.string())]
+        # Self-delimiting key encoding: each part is "N" (null) or
+        # "<len>:<value>", concatenated with no separator — parts with
+        # embedded separator bytes or a literal "N"/"3:..." value cannot
+        # collide across group boundaries (a plain '\x1f' join would merge
+        # ('a\x1f','b') with ('a','\x1fb')).
+        def _enc_part(arr):
+            s = arr.cast(pa.string())
+            ln = pc.utf8_length(s).cast(pa.string())
+            return pc.binary_join_element_wise(ln, s, ":").fill_null("N")
+
+        parts_str = [_enc_part(rt.column(c)) for c in by_cols] or [
+            pa.array([""] * rt.num_rows, pa.string())
+        ]
         kstr = parts_str[0]
         for p in parts_str[1:]:
-            kstr = pc.binary_join_element_wise(kstr, p, "\x1f")
+            kstr = pc.binary_join_element_wise(kstr, p, "")
         if isinstance(kstr, pa.ChunkedArray):
             kstr = kstr.combine_chunks()
         enc = kstr.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         m = len(enc.dictionary)
         sums = np.bincount(codes, weights=partial, minlength=m)
-        uniq, first_idx = np.unique(codes, return_index=True)
-        take = pa.array(first_idx[np.argsort(uniq)], pa.int64())
+        # dictionary codes are dense 0..m-1 and np.unique returns them
+        # sorted, so first_idx is already dictionary-aligned
+        _, first_idx = np.unique(codes, return_index=True)
+        take = pa.array(first_idx, pa.int64())
         cols = {"_key_str": enc.dictionary}
         for c in by_cols:
             cols[c] = rt.column(c).take(take)

@@ -541,6 +541,63 @@ def test_range_join_count_global_and_multicol(ray_session):
     assert got == {("g1", 1): 6, ("g2", 2): 1}
 
 
+def test_range_join_count_adversarial_composite_keys(ray_session):
+    """Composite count_by values crafted so a naive separator-join would
+    merge distinct groups: ('a\\x1f', 'b') vs ('a', '\\x1fb'), and values
+    that mimic the length-prefixed encoding itself ('N', '1:x')."""
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    L = pa.table({"x": pa.array([1.0])})
+    R = pa.table({
+        "lo": pa.array([0.0] * 5),
+        "hi": pa.array([10.0] * 5),
+        "a": pa.array(["a\x1f", "a", "N", "1:x", None]),
+        "b": pa.array(["b", "\x1fb", "1:x", "N", None]),
+    })
+    out = range_join_count(
+        rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+        count_by=["a", "b"], n_tiles=2,
+    ).to_pandas()
+    got = {(a, b): int(n) for a, b, n in zip(out["a"], out["b"], out["n"])}
+    assert got == {
+        ("a\x1f", "b"): 1, ("a", "\x1fb"): 1,
+        ("N", "1:x"): 1, ("1:x", "N"): 1, (None, None): 1,
+    }
+
+
+def test_bucketed_join_nested_payload_columns(ray_session):
+    """Arrow's hash join rejects nested non-key columns; the row-index
+    join + take() path must carry list payloads through every join type,
+    with outer-null rows gathering as null lists."""
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import bucketed_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "emb": pa.array([[1.0, 2.0], [3.0], None], pa.list_(pa.float64())),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "tags": pa.array([["x"], [], ["y", "z"]], pa.list_(pa.string())),
+    }))
+    def _collect(ds):
+        # ragged list columns break Ray's to_pandas TensorArray cast;
+        # gather as Arrow and sort there
+        t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+        t = t.sort_by("k")
+        return {c: t.column(c).to_pylist() for c in t.column_names}
+
+    inner = _collect(bucketed_join(left, right, on="k"))
+    assert inner["k"] == [2, 3]
+    assert inner["emb"] == [[3.0], None]
+    assert inner["tags"] == [["x"], []]
+    outer = _collect(bucketed_join(left, right, on="k", how="outer"))
+    assert outer["k"] == [1, 2, 3, 4]
+    assert outer["emb"] == [[1.0, 2.0], [3.0], None, None]
+    assert outer["tags"] == [None, ["x"], [], ["y", "z"]]
+
+
 def test_host_key_bracket_urls_skipped():
     """urlparse RAISES on mismatched-bracket netlocs — those rows must get
     no host key (the old scalar path skipped them); bracketed IPv6 hosts
