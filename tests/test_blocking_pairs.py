@@ -566,6 +566,43 @@ def test_range_join_count_adversarial_composite_keys(ray_session):
     }
 
 
+def test_range_join_count_key_encoding_fuzz(ray_session):
+    """Injectivity of the composite-key encoding, end-to-end: 400 rows of
+    3-column keys drawn from an alphabet built to stress the length-prefix
+    scheme (empty, ':', '\\x1f', 'N', digit-colon prefixes, multi-byte
+    UTF-8, nulls) must group exactly like a pandas groupby."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    alphabet = ["", ":", "\x1f", "N", "1:", "0:", "2:N", "a", "aa",
+                "é", "é:1", "N1:", "10:", None, "::", "1", "n"]
+    rng = random.Random(20260819)
+    n = 400
+    a = [rng.choice(alphabet) for _ in range(n)]
+    b = [rng.choice(alphabet) for _ in range(n)]
+    c = [rng.choice(alphabet) for _ in range(n)]
+    R = pa.table({
+        "lo": pa.array([0.0] * n), "hi": pa.array([10.0] * n),
+        "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+        "c": pa.array(c, pa.string()),
+    })
+    L = pa.table({"x": pa.array([1.0, 5.0])})  # 2 matches per interval
+    out = range_join_count(
+        rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+        count_by=["a", "b", "c"], n_tiles=3,
+    ).to_pandas()
+    got = {(ka, kb, kc): int(v) for ka, kb, kc, v in
+           zip(out["a"], out["b"], out["c"], out["n"])}
+    exp = (pd.DataFrame({"a": a, "b": b, "c": c})
+           .groupby(["a", "b", "c"], dropna=False).size())
+    want = {tuple(None if pd.isna(p) else p for p in k): int(v) * 2
+            for k, v in exp.items()}
+    assert got == want
+
+
 def test_bucketed_join_nested_payload_columns(ray_session):
     """Arrow's hash join rejects nested non-key columns; the row-index
     join + take() path must carry list payloads through every join type,
@@ -596,6 +633,45 @@ def test_bucketed_join_nested_payload_columns(ray_session):
     assert outer["k"] == [1, 2, 3, 4]
     assert outer["emb"] == [[1.0, 2.0], [3.0], None, None]
     assert outer["tags"] == [None, ["x"], [], ["y", "z"]]
+
+
+def test_bucketed_join_nested_branch_parity(ray_session):
+    """Adding an all-null list column (forcing the row-index/take path)
+    must not change the flat columns' join result for any join type."""
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import bucketed_join
+
+    import random
+    rng = random.Random(7)
+    keys_l = [rng.randint(0, 20) if rng.random() > 0.1 else None
+              for _ in range(80)]
+    keys_r = [rng.randint(0, 20) if rng.random() > 0.1 else None
+              for _ in range(60)]
+    flat_l = pa.table({
+        "k": pa.array(keys_l, pa.int64()),
+        "lv": pa.array(range(80), pa.int64()),
+    })
+    flat_r = pa.table({
+        "k": pa.array(keys_r, pa.int64()),
+        "rv": pa.array(range(60), pa.int64()),
+    })
+    nested_l = flat_l.append_column(
+        "junk", pa.array([None] * 80, pa.list_(pa.int32())))
+
+    for how in ("inner", "left", "right", "outer"):
+        base = pa.concat_tables(
+            bucketed_join(rd.from_arrow(flat_l), rd.from_arrow(flat_r),
+                          on="k", how=how)
+            .iter_batches(batch_format="pyarrow"))
+        via = pa.concat_tables(
+            bucketed_join(rd.from_arrow(nested_l), rd.from_arrow(flat_r),
+                          on="k", how=how)
+            .iter_batches(batch_format="pyarrow"))
+        cols = ["k", "lv", "rv"]
+        skey = lambda t: tuple((v is None, v if v is not None else 0) for v in t)
+        a = sorted(map(tuple, zip(*[base.column(c).to_pylist() for c in cols])), key=skey)
+        b = sorted(map(tuple, zip(*[via.column(c).to_pylist() for c in cols])), key=skey)
+        assert a == b, how
 
 
 def test_host_key_bracket_urls_skipped():
