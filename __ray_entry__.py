@@ -636,6 +636,60 @@ def _q_user_span_events(sf_dir: str):
     )
 
 
+def _q_user_span_value(sf_dir: str):
+    """SUM-pushdown range join: per user span, the count AND total
+    ``value`` of all events inside [min(ts), max(ts)] — the
+    ``sum_cols`` extension of ``range_join_count``, so the weighted
+    aggregate ships as per-tile prefix-sum partials, never as the
+    materialized |events| x |spans| pair set."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    spans = events.groupby("user_id").aggregate(Min("ts"), Max("ts"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "span_user": t.column("user_id"),
+                "lo": t.column("min(ts)"),
+                "hi": t.column("max(ts)"),
+            }
+        )
+
+    spans = spans.map_batches(rename, batch_format="pyarrow")
+    out = range_join_count(
+        events.select_columns(["ts", "value"]),
+        spans,
+        "ts",
+        "lo",
+        "hi",
+        count_by="span_user",
+        count_name="n_events",
+        sum_cols="value",
+        n_tiles=64,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        # np.round, not pc.round: Arrow's decimal round is off by ulps
+        # from DuckDB/numpy at large magnitudes (breaks the value hash)
+        s = t.column("sum_value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "span_user": t.column("span_user"),
+                "n_events": t.column("n_events"),
+                "value_sum": pa.array(np.round(s, 2), pa.float64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_events_prev_value(sf_dir: str):
     """As-of join through the driver contract: each event picks the latest
     strictly-earlier event's value for the same user (right side deduped to
@@ -715,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": _q_session_window,
         "events_prev_value": _q_events_prev_value,
         "user_span_events": _q_user_span_events,
+        "user_span_value": _q_user_span_value,
         "price_quantiles": _q_price_quantiles,
         "distinct_users": _q_distinct_users,
         "price_qty_corr": _q_price_qty_corr,
@@ -826,6 +881,16 @@ def oracle_sql() -> dict[str, str]:
             "WITH spans AS (SELECT user_id AS span_user, min(ts) AS lo, "
             "max(ts) AS hi FROM events GROUP BY 1) "
             "SELECT s.span_user, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM spans s JOIN events e ON e.ts BETWEEN s.lo AND s.hi "
+            "GROUP BY s.span_user ORDER BY s.span_user"
+        ),
+        "user_span_value": (
+            # sum_cols pushdown: COALESCE pins the engine's SUM-ignores-
+            # nulls-but-rows-still-count semantics (all-null group -> 0)
+            "WITH spans AS (SELECT user_id AS span_user, min(ts) AS lo, "
+            "max(ts) AS hi FROM events GROUP BY 1) "
+            "SELECT s.span_user, CAST(count(*) AS BIGINT) AS n_events, "
+            "ROUND(COALESCE(SUM(e.value), 0), 2) AS value_sum "
             "FROM spans s JOIN events e ON e.ts BETWEEN s.lo AND s.hi "
             "GROUP BY s.span_user ORDER BY s.span_user"
         ),

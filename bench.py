@@ -170,6 +170,7 @@ QUERY_NAMES = [
     "hopping_window",
     "customer_order_coalesce",
     "user_span_events",
+    "user_span_value",
     "price_quantiles",
     "distinct_users",
     "price_qty_corr",

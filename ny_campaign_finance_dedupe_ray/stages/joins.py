@@ -533,6 +533,7 @@ def range_join_count(
     count_name: str = "n",
     n_tiles: int = 64,
     domain: tuple | None = None,
+    sum_cols: str | list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Aggregate-pushdown form of :func:`range_join`: per right interval
     (grouped by the right-side ``count_by`` columns), COUNT the left rows
@@ -563,6 +564,14 @@ def range_join_count(
     when the right side has no payload columns beyond lo/hi; pass explicit
     ``count_by`` columns otherwise.  Output: ``count_by`` columns (their
     input types preserved) + ``count_name`` (int64).
+
+    ``sum_cols`` extends the pushdown to SUMs of LEFT numeric columns over
+    the same containment predicate: each ``c`` adds an output column
+    ``sum_<c>`` (float64) equal to ``COALESCE(SUM(left.c), 0)`` per group
+    (null weights contribute 0; rows still count).  Cost model unchanged —
+    per tile the kernel prefix-sums the weights in value-sorted order, so
+    an interval's sum is two gathers (``pre[end] - pre[start]``), exactly
+    like the count; no pair set is ever materialized.
     """
     if count_by is None:
         by_cols: list[str] = []
@@ -570,6 +579,12 @@ def range_join_count(
         by_cols = [count_by]
     else:
         by_cols = list(count_by)
+    if sum_cols is None:
+        s_cols: list[str] = []
+    elif isinstance(sum_cols, str):
+        s_cols = [sum_cols]
+    else:
+        s_cols = list(sum_cols)
 
     l_schema, r_schema = left.schema(), right.schema()
     l_types = {n: _pa_type_of(t) for n, t in zip(l_schema.names, l_schema.types)}
@@ -584,13 +599,28 @@ def range_join_count(
                 "count_by=None requires a right side with only lo/hi "
                 f"columns; found payload columns {extra} — pass count_by"
             )
+    s_missing = [c for c in s_cols if c not in l_types]
+    if s_missing:
+        raise ValueError(f"sum_cols columns not on the left side: {s_missing}")
+    for c in s_cols:
+        t = l_types[c]
+        if not (_intlike(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)):
+            raise ValueError(f"sum_cols column {c!r} is not numeric: {t}")
+    # index-based internal names so user column names can never collide
+    s_int = [f"_s_{i}" for i in range(len(s_cols))]
+    s_part = [f"_ps_{i}" for i in range(len(s_cols))]
+    s_out = [f"sum_{c}" for c in s_cols]
+    if len(s_cols) != len(set(s_cols)):
+        raise ValueError(f"sum_cols has duplicates: {s_cols}")
     reserved = {
         "_side", "_tile", "_v", "_lo", "_hi", "_partial", "_key_str",
-        count_name,
+        count_name, *s_int, *s_part, *s_out,
     }
     bad = reserved & set(by_cols)
     if bad:
         raise ValueError(f"count_by collides with internal names: {sorted(bad)}")
+    if set(s_out) & set(by_cols) or count_name in s_out:
+        raise ValueError(f"sum output names collide: {sorted(set(s_out))}")
 
     int_mode = all(
         _int64able(typ)
@@ -603,6 +633,7 @@ def range_join_count(
 
     def tag_left(t: pa.Table) -> pa.Table:
         # the slim win over range_join: left ships ONLY (_tile, _v)
+        # (+ one float64 lane per sum_col)
         v, valid = _num_extract(t.column(value_col), int_mode)
         v = v[valid]
         tile = np.clip(
@@ -616,6 +647,10 @@ def range_join_count(
             "_lo": pa.array(np.zeros(n, dtype=num_dtype)),
             "_hi": pa.array(np.zeros(n, dtype=num_dtype)),
         }
+        for name, c in zip(s_int, s_cols):
+            w, w_ok = _num_extract(t.column(c), False)
+            w = np.where(w_ok, w, 0.0)  # SUM ignores nulls -> contribute 0
+            cols[name] = pa.array(w[valid])
         for c in by_cols:
             cols[c] = _placeholder(n, r_types[c])
         return pa.table(cols)
@@ -645,17 +680,19 @@ def range_join_count(
             "_lo": pa.array(lo[idx]),
             "_hi": pa.array(hi[idx]),
         }
+        for name in s_int:
+            cols[name] = pa.array(np.zeros(rep.num_rows, dtype=np.float64))
         for c in by_cols:
             cols[c] = rep.column(c)
         return pa.table(cols)
 
-    ordered = ["_side", "_tile", "_v", "_lo", "_hi", *by_cols]
+    ordered = ["_side", "_tile", "_v", "_lo", "_hi", *s_int, *by_cols]
 
     def reorder(t: pa.Table) -> pa.Table:
         return t.select(ordered)
 
     unioned = (
-        left.select_columns([value_col])
+        left.select_columns(list(dict.fromkeys([value_col, *s_cols])))
         .map_batches(tag_left, batch_format="pyarrow")
         .map_batches(reorder, batch_format="pyarrow")
         .union(
@@ -670,11 +707,15 @@ def range_join_count(
         for c in by_cols:
             cols[c] = pa.array([], r_types[c])
         cols["_partial"] = pa.array([], pa.int64())
+        for name in s_part:
+            cols[name] = pa.array([], pa.float64())
         return pa.table(cols)
 
     def partials(g: pa.Table) -> pa.Table:
         # ends - starts IS the per-interval match count in this tile — the
-        # count the generic range_join only reaches after np.repeat.
+        # count the generic range_join only reaches after np.repeat; with
+        # sum_cols, prefix sums over the value-sorted weights give each
+        # interval's SUM as pre[end] - pre[start] at the same cost.
         # All-Arrow (no pandas round-trip), so count_by columns keep exact
         # types — incl. nullable int64 above 2^53.  Locally combined per
         # count_by key (dictionary-encode + bincount: one row per key per
@@ -684,18 +725,29 @@ def range_join_count(
         rt = g.filter(pc.equal(side, "r"))
         if rt.num_rows == 0:
             return _empty_parts()
-        lv = g.filter(pc.equal(side, "l")).column("_v")
+        lt = g.filter(pc.equal(side, "l"))
+        lv = lt.column("_v")
         if isinstance(lv, pa.ChunkedArray):
             lv = lv.combine_chunks()
         if len(lv) == 0:
             partial = np.zeros(rt.num_rows, dtype=np.int64)
+            wsums = [np.zeros(rt.num_rows, dtype=np.float64) for _ in s_int]
         else:
-            vs = np.sort(lv.to_numpy(zero_copy_only=False), kind="stable")
+            v = lv.to_numpy(zero_copy_only=False)
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
             lo = rt.column("_lo").to_numpy(zero_copy_only=False)
             hi = rt.column("_hi").to_numpy(zero_copy_only=False)
             starts = np.searchsorted(vs, lo, side="left")
             ends = np.searchsorted(vs, hi, side="right")
             partial = np.maximum(ends - starts, 0).astype(np.int64)
+            hit = ends > starts
+            wsums = []
+            for name in s_int:
+                w = lt.column(name).to_numpy(zero_copy_only=False)[order]
+                pre = np.concatenate(([0.0], np.cumsum(w, dtype=np.float64)))
+                ws = np.where(hit, pre[ends] - pre[starts], 0.0)
+                wsums.append(ws)
         # Self-delimiting key encoding: each part is "N" (null) or
         # "<len>:<value>", concatenated with no separator — parts with
         # embedded separator bytes or a literal "N"/"3:..." value cannot
@@ -727,19 +779,26 @@ def range_join_count(
             cols[c] = rt.column(c).take(take)
         # partial counts are < |left| per tile: exact in float64, safe cast
         cols["_partial"] = pa.array(sums.astype(np.int64))
+        for name, ws in zip(s_part, wsums):
+            cols[name] = pa.array(np.bincount(codes, weights=ws, minlength=m))
         return pa.table(cols)
 
     parts = unioned.groupby("_tile").map_groups(partials, batch_format="pyarrow")
 
     if not by_cols:
-        # no grouping: one global count — a tiny driver-side sum
+        # no grouping: one global count (+ sums) — a tiny driver-side sum
         from ray.data.aggregate import Sum
 
-        total = parts.aggregate(Sum("_partial"))
+        aggs = [Sum("_partial")] + [Sum(name) for name in s_part]
+        total = parts.aggregate(*aggs)
         n = 0 if total is None else int(total.get("sum(_partial)") or 0)
         import ray.data as rd
 
-        table = pa.table({count_name: pa.array([n], pa.int64())})
+        cols = {count_name: pa.array([n], pa.int64())}
+        for name, out in zip(s_part, s_out):
+            s = 0.0 if total is None else float(total.get(f"sum({name})") or 0.0)
+            cols[out] = pa.array([s], pa.float64())
+        table = pa.table(cols)
         return rd.from_arrow(table if n > 0 else table.slice(0, 0))
 
     def sum_partials(g: pa.Table) -> pa.Table:
@@ -747,6 +806,9 @@ def range_join_count(
         head = g.slice(0, 1 if n > 0 else 0)  # inner-join: zero-match drops
         cols = {c: head.column(c) for c in by_cols}
         cols[count_name] = pa.array([np.int64(n)][: head.num_rows], pa.int64())
+        for name, out in zip(s_part, s_out):
+            s = pc.sum(g.column(name)).as_py() or 0.0
+            cols[out] = pa.array([float(s)][: head.num_rows], pa.float64())
         return pa.table(cols)
 
     return parts.groupby("_key_str").map_groups(

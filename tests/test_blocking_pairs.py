@@ -566,6 +566,63 @@ def test_range_join_count_adversarial_composite_keys(ray_session):
     }
 
 
+def test_range_join_count_sum_pushdown_bruteforce(ray_session):
+    """sum_cols must equal the brute-force joined SUM per group — random
+    values/intervals, null weights contributing 0, multiple sum columns,
+    and summing the range column itself."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    rng = random.Random(42)
+    nl, nr = 300, 40
+    x = [rng.uniform(0, 100) for _ in range(nl)]
+    w = [rng.uniform(-5, 5) if rng.random() > 0.15 else None for _ in range(nl)]
+    lo = [rng.uniform(0, 90) for _ in range(nr)]
+    hi = [l + rng.uniform(0, 30) for l in lo]
+    g = [rng.choice(["a", "b", "c"]) for _ in range(nr)]
+    L = pa.table({"x": pa.array(x), "w": pa.array(w, pa.float64())})
+    R = pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                  "g": pa.array(g, pa.string())})
+    out = range_join_count(
+        rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+        count_by="g", sum_cols=["w", "x"], n_tiles=7,
+    ).to_pandas().set_index("g").sort_index()
+
+    rows = []
+    for l, h, gg in zip(lo, hi, g):
+        for xv, wv in zip(x, w):
+            if l <= xv <= h:
+                rows.append((gg, 0.0 if wv is None else wv, xv))
+    bf = pd.DataFrame(rows, columns=["g", "w", "x"]).groupby("g").agg(
+        n=("w", "size"), sum_w=("w", "sum"), sum_x=("x", "sum"))
+    assert out["n"].to_dict() == bf["n"].to_dict()
+    for col in ("sum_w", "sum_x"):
+        for k in bf.index:
+            assert abs(out[col][k] - bf[col][k]) < 1e-8, (col, k)
+
+
+def test_range_join_count_sum_cols_validation(ray_session):
+    import pytest
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    L = pa.table({"x": pa.array([1.0]), "s": pa.array(["str"])})
+    R = pa.table({"lo": pa.array([0.0]), "hi": pa.array([2.0]),
+                  "g": pa.array(["a"])})
+    with pytest.raises(ValueError, match="not on the left side"):
+        range_join_count(rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+                         count_by="g", sum_cols="nope")
+    with pytest.raises(ValueError, match="not numeric"):
+        range_join_count(rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+                         count_by="g", sum_cols="s")
+    with pytest.raises(ValueError, match="duplicates"):
+        range_join_count(rd.from_arrow(L), rd.from_arrow(R), "x", "lo", "hi",
+                         count_by="g", sum_cols=["x", "x"])
+
+
 def test_range_join_count_key_encoding_fuzz(ray_session):
     """Injectivity of the composite-key encoding, end-to-end: 400 rows of
     3-column keys drawn from an alphabet built to stress the length-prefix
