@@ -637,11 +637,12 @@ def _q_user_span_events(sf_dir: str):
 
 
 def _q_user_span_value(sf_dir: str):
-    """SUM-pushdown range join: per user span, the count AND total
-    ``value`` of all events inside [min(ts), max(ts)] — the
-    ``sum_cols`` extension of ``range_join_count``, so the weighted
-    aggregate ships as per-tile prefix-sum partials, never as the
-    materialized |events| x |spans| pair set."""
+    """SUM/MIN/MAX-pushdown range join: per user span, the count, total
+    ``value``, and first/last matched timestamp of all events inside
+    [min(ts), max(ts)] — the ``sum_cols`` + ``min_max`` extensions of
+    ``range_join_count``, so every aggregate ships as per-tile partials
+    (prefix sums; boundary gathers), never as the materialized
+    |events| x |spans| pair set."""
     import pyarrow as pa
     import ray.data as rd
     from ray.data.aggregate import Max, Min
@@ -672,6 +673,7 @@ def _q_user_span_value(sf_dir: str):
         count_by="span_user",
         count_name="n_events",
         sum_cols="value",
+        min_max=True,
         n_tiles=64,
     )
 
@@ -684,6 +686,8 @@ def _q_user_span_value(sf_dir: str):
                 "span_user": t.column("span_user"),
                 "n_events": t.column("n_events"),
                 "value_sum": pa.array(np.round(s, 2), pa.float64()),
+                "first_ts": t.column("min_ts"),
+                "last_ts": t.column("max_ts"),
             }
         )
 
@@ -890,7 +894,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH spans AS (SELECT user_id AS span_user, min(ts) AS lo, "
             "max(ts) AS hi FROM events GROUP BY 1) "
             "SELECT s.span_user, CAST(count(*) AS BIGINT) AS n_events, "
-            "ROUND(COALESCE(SUM(e.value), 0), 2) AS value_sum "
+            "ROUND(COALESCE(SUM(e.value), 0), 2) AS value_sum, "
+            "MIN(e.ts) AS first_ts, MAX(e.ts) AS last_ts "
             "FROM spans s JOIN events e ON e.ts BETWEEN s.lo AND s.hi "
             "GROUP BY s.span_user ORDER BY s.span_user"
         ),

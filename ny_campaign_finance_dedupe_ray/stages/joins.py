@@ -534,6 +534,7 @@ def range_join_count(
     n_tiles: int = 64,
     domain: tuple | None = None,
     sum_cols: str | list[str] | None = None,
+    min_max: bool = False,
 ) -> "ray.data.Dataset":
     """Aggregate-pushdown form of :func:`range_join`: per right interval
     (grouped by the right-side ``count_by`` columns), COUNT the left rows
@@ -572,6 +573,13 @@ def range_join_count(
     per tile the kernel prefix-sums the weights in value-sorted order, so
     an interval's sum is two gathers (``pre[end] - pre[start]``), exactly
     like the count; no pair set is ever materialized.
+
+    ``min_max=True`` adds ``min_<value_col>`` / ``max_<value_col>`` — the
+    extremes of the matched left values per group, in the value column's
+    ORIGINAL type (timestamps stay timestamps).  Free at the kernel level:
+    with the tile sorted, an interval's min/max are ``vs[start]`` and
+    ``vs[end-1]``.  Together with the count, AVG/coverage-span queries
+    need no join either.
     """
     if count_by is None:
         by_cols: list[str] = []
@@ -612,15 +620,18 @@ def range_join_count(
     s_out = [f"sum_{c}" for c in s_cols]
     if len(s_cols) != len(set(s_cols)):
         raise ValueError(f"sum_cols has duplicates: {s_cols}")
+    mm_out = [f"min_{value_col}", f"max_{value_col}"] if min_max else []
     reserved = {
         "_side", "_tile", "_v", "_lo", "_hi", "_partial", "_key_str",
-        count_name, *s_int, *s_part, *s_out,
+        "_pmin", "_pmax", count_name, *s_int, *s_part, *s_out, *mm_out,
     }
     bad = reserved & set(by_cols)
     if bad:
         raise ValueError(f"count_by collides with internal names: {sorted(bad)}")
     if set(s_out) & set(by_cols) or count_name in s_out:
         raise ValueError(f"sum output names collide: {sorted(set(s_out))}")
+    if set(mm_out) & set(s_out) or count_name in mm_out:
+        raise ValueError(f"min/max output names collide: {mm_out}")
 
     int_mode = all(
         _int64able(typ)
@@ -702,6 +713,8 @@ def range_join_count(
         )
     )
 
+    num_pa = pa.int64() if int_mode else pa.float64()
+
     def _empty_parts() -> pa.Table:
         cols = {"_key_str": pa.array([], pa.string())}
         for c in by_cols:
@@ -709,6 +722,9 @@ def range_join_count(
         cols["_partial"] = pa.array([], pa.int64())
         for name in s_part:
             cols[name] = pa.array([], pa.float64())
+        if min_max:
+            cols["_pmin"] = pa.array([], num_pa)
+            cols["_pmax"] = pa.array([], num_pa)
         return pa.table(cols)
 
     def partials(g: pa.Table) -> pa.Table:
@@ -732,6 +748,8 @@ def range_join_count(
         if len(lv) == 0:
             partial = np.zeros(rt.num_rows, dtype=np.int64)
             wsums = [np.zeros(rt.num_rows, dtype=np.float64) for _ in s_int]
+            hit = np.zeros(rt.num_rows, dtype=bool)
+            imins = imaxs = np.zeros(rt.num_rows, dtype=num_dtype)
         else:
             v = lv.to_numpy(zero_copy_only=False)
             order = np.argsort(v, kind="stable")
@@ -748,6 +766,10 @@ def range_join_count(
                 pre = np.concatenate(([0.0], np.cumsum(w, dtype=np.float64)))
                 ws = np.where(hit, pre[ends] - pre[starts], 0.0)
                 wsums.append(ws)
+            if min_max:
+                # sorted tile: an interval's extremes are its boundary hits
+                imins = vs[np.minimum(starts, len(vs) - 1)]
+                imaxs = vs[np.maximum(ends - 1, 0)]
         # Self-delimiting key encoding: each part is "N" (null) or
         # "<len>:<value>", concatenated with no separator — parts with
         # embedded separator bytes or a literal "N"/"3:..." value cannot
@@ -781,15 +803,41 @@ def range_join_count(
         cols["_partial"] = pa.array(sums.astype(np.int64))
         for name, ws in zip(s_part, wsums):
             cols[name] = pa.array(np.bincount(codes, weights=ws, minlength=m))
+        if min_max:
+            # min/max-by-group over the hit intervals only; groups with no
+            # hits in this tile emit null partials (skipped downstream)
+            hidx = codes[hit]
+            gmin = np.full(m, np.iinfo(np.int64).max if int_mode else np.inf,
+                           dtype=num_dtype)
+            gmax = np.full(m, np.iinfo(np.int64).min if int_mode else -np.inf,
+                           dtype=num_dtype)
+            np.minimum.at(gmin, hidx, imins[hit])
+            np.maximum.at(gmax, hidx, imaxs[hit])
+            ghit = np.bincount(hidx, minlength=m) > 0
+            cols["_pmin"] = pa.array(gmin, mask=~ghit)
+            cols["_pmax"] = pa.array(gmax, mask=~ghit)
         return pa.table(cols)
 
     parts = unioned.groupby("_tile").map_groups(partials, batch_format="pyarrow")
 
+    def _mm_final(vmin, vmax, nrows: int) -> dict:
+        # back to the value column's ORIGINAL type (int_mode extraction
+        # cast temporals/ints to int64 epoch/values; reverse it here)
+        out = {}
+        for name, val in zip(mm_out, (vmin, vmax)):
+            arr = pa.array([val][:nrows], num_pa)
+            if int_mode:
+                arr = arr.cast(l_types[value_col])
+            out[name] = arr
+        return out
+
     if not by_cols:
-        # no grouping: one global count (+ sums) — a tiny driver-side sum
-        from ray.data.aggregate import Sum
+        # no grouping: one global count (+ sums/extremes) — tiny driver agg
+        from ray.data.aggregate import Max, Min, Sum
 
         aggs = [Sum("_partial")] + [Sum(name) for name in s_part]
+        if min_max:
+            aggs += [Min("_pmin"), Max("_pmax")]
         total = parts.aggregate(*aggs)
         n = 0 if total is None else int(total.get("sum(_partial)") or 0)
         import ray.data as rd
@@ -798,6 +846,10 @@ def range_join_count(
         for name, out in zip(s_part, s_out):
             s = 0.0 if total is None else float(total.get(f"sum({name})") or 0.0)
             cols[out] = pa.array([s], pa.float64())
+        if min_max:
+            cols.update(_mm_final(
+                None if total is None else total.get("min(_pmin)"),
+                None if total is None else total.get("max(_pmax)"), 1))
         table = pa.table(cols)
         return rd.from_arrow(table if n > 0 else table.slice(0, 0))
 
@@ -809,6 +861,11 @@ def range_join_count(
         for name, out in zip(s_part, s_out):
             s = pc.sum(g.column(name)).as_py() or 0.0
             cols[out] = pa.array([float(s)][: head.num_rows], pa.float64())
+        if min_max:
+            # n > 0 guarantees >= 1 non-null partial; pc.min/max skip nulls
+            cols.update(_mm_final(
+                pc.min(g.column("_pmin")).as_py(),
+                pc.max(g.column("_pmax")).as_py(), head.num_rows))
         return pa.table(cols)
 
     return parts.groupby("_key_str").map_groups(

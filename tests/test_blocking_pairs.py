@@ -604,6 +604,45 @@ def test_range_join_count_sum_pushdown_bruteforce(ray_session):
             assert abs(out[col][k] - bf[col][k]) < 1e-8, (col, k)
 
 
+def test_range_join_count_min_max_bruteforce(ray_session):
+    """min_max=True must equal the brute-force joined MIN/MAX per group
+    across tile boundaries, and preserve the value column's type
+    (timestamps stay timestamps)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    rng = random.Random(11)
+    base = dt.datetime(2021, 1, 1)
+    ts = [base + dt.timedelta(minutes=rng.randint(0, 50_000)) for _ in range(250)]
+    lo = [base + dt.timedelta(minutes=rng.randint(0, 45_000)) for _ in range(30)]
+    hi = [l + dt.timedelta(minutes=rng.randint(0, 20_000)) for l in lo]
+    g = [rng.choice(["a", "b", "c", "d"]) for _ in range(30)]
+    L = pa.table({"t": pa.array(ts, pa.timestamp("us"))})
+    R = pa.table({"lo": pa.array(lo, pa.timestamp("us")),
+                  "hi": pa.array(hi, pa.timestamp("us")),
+                  "g": pa.array(g, pa.string())})
+    ds = range_join_count(
+        rd.from_arrow(L), rd.from_arrow(R), "t", "lo", "hi",
+        count_by="g", min_max=True, n_tiles=5,
+    )
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert t.schema.field("min_t").type == pa.timestamp("us")
+    got = {r["g"]: (r["n"], r["min_t"], r["max_t"]) for r in t.to_pylist()}
+
+    rows = []
+    for l, h, gg in zip(lo, hi, g):
+        rows += [(gg, x) for x in ts if l <= x <= h]
+    bf = pd.DataFrame(rows, columns=["g", "t"]).groupby("g").agg(
+        n=("t", "size"), mn=("t", "min"), mx=("t", "max"))
+    want = {k: (int(r["n"]), r["mn"].to_pydatetime(), r["mx"].to_pydatetime())
+            for k, r in bf.iterrows()}
+    assert got == want
+
+
 def test_range_join_count_sum_cols_validation(ray_session):
     import pytest
     import ray.data as rd
