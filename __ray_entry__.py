@@ -679,7 +679,10 @@ def _q_user_span_value(sf_dir: str):
 
     def fin(t: pa.Table) -> pa.Table:
         # np.round, not pc.round: Arrow's decimal round is off by ulps
-        # from DuckDB/numpy at large magnitudes (breaks the value hash)
+        # from DuckDB/numpy at large magnitudes (breaks the value hash).
+        # Tie-breaking still differs (np half-even vs DuckDB half-away),
+        # but a float SUM landing on an exactly-representable half at 2
+        # decimals is measure-zero for this data
         s = t.column("sum_value").to_numpy(zero_copy_only=False)
         return pa.table(
             {

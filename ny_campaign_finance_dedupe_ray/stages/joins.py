@@ -568,18 +568,26 @@ def range_join_count(
 
     ``sum_cols`` extends the pushdown to SUMs of LEFT numeric columns over
     the same containment predicate: each ``c`` adds an output column
-    ``sum_<c>`` (float64) equal to ``COALESCE(SUM(left.c), 0)`` per group
-    (null weights contribute 0; rows still count).  Cost model unchanged —
-    per tile the kernel prefix-sums the weights in value-sorted order, so
-    an interval's sum is two gathers (``pre[end] - pre[start]``), exactly
-    like the count; no pair set is ever materialized.
+    ``sum_<c>`` (float64) equal to ``COALESCE(SUM(left.c), 0)`` per group.
+    Weight semantics differ from SQL SUM in two documented ways: null AND
+    NaN weights contribute 0 (their rows still count), where SQL would
+    propagate NaN; and ±inf weights RAISE — the per-tile prefix-sum
+    (``pre[end] - pre[start]``) would smear inf/NaN into every interval
+    sharing the tile, so non-finite weights must be nulled upstream.
+    Weights spanning >~15 decimal orders of magnitude within one tile can
+    lose small addends to float64 absorption (inherent to any float SUM,
+    but order differs from a per-group sum).  Cost model unchanged — an
+    interval's sum is two gathers, exactly like the count; no pair set is
+    ever materialized.
 
     ``min_max=True`` adds ``min_<value_col>`` / ``max_<value_col>`` — the
     extremes of the matched left values per group, in the value column's
-    ORIGINAL type (timestamps stay timestamps).  Free at the kernel level:
-    with the tile sorted, an interval's min/max are ``vs[start]`` and
-    ``vs[end-1]``.  Together with the count, AVG/coverage-span queries
-    need no join either.
+    ORIGINAL type (timestamps stay timestamps; when the join runs on the
+    float64 path — mixed value/bound types or uint64 — the restoration
+    round-trips through float64, exact below 2^53 like the rest of that
+    path).  Free at the kernel level: with the tile sorted, an interval's
+    min/max are ``vs[start]`` and ``vs[end-1]``.  Together with the count,
+    AVG/coverage-span queries need no join either.
     """
     if count_by is None:
         by_cols: list[str] = []
@@ -628,10 +636,9 @@ def range_join_count(
     bad = reserved & set(by_cols)
     if bad:
         raise ValueError(f"count_by collides with internal names: {sorted(bad)}")
-    if set(s_out) & set(by_cols) or count_name in s_out:
-        raise ValueError(f"sum output names collide: {sorted(set(s_out))}")
-    if set(mm_out) & set(s_out) or count_name in mm_out:
-        raise ValueError(f"min/max output names collide: {mm_out}")
+    if count_name in (*s_out, *mm_out):
+        raise ValueError(f"count_name {count_name!r} collides with an "
+                         "aggregate output name")
 
     int_mode = all(
         _int64able(typ)
@@ -660,7 +667,15 @@ def range_join_count(
         }
         for name, c in zip(s_int, s_cols):
             w, w_ok = _num_extract(t.column(c), False)
-            w = np.where(w_ok, w, 0.0)  # SUM ignores nulls -> contribute 0
+            # null AND NaN -> 0 (w_ok already excludes NaN); ±inf would
+            # smear through the tile's prefix sums into unrelated
+            # intervals — refuse it rather than corrupt silently
+            if np.isinf(w[w_ok]).any():
+                raise ValueError(
+                    f"sum_cols column {c!r} contains ±inf; the prefix-sum "
+                    "pushdown requires finite weights (null them upstream)"
+                )
+            w = np.where(w_ok, w, 0.0)
             cols[name] = pa.array(w[valid])
         for c in by_cols:
             cols[c] = _placeholder(n, r_types[c])
@@ -821,13 +836,20 @@ def range_join_count(
     parts = unioned.groupby("_tile").map_groups(partials, batch_format="pyarrow")
 
     def _mm_final(vmin, vmax, nrows: int) -> dict:
-        # back to the value column's ORIGINAL type (int_mode extraction
-        # cast temporals/ints to int64 epoch/values; reverse it here)
+        # back to the value column's ORIGINAL type unconditionally: the
+        # int_mode extraction cast temporals/ints to int64 epoch/values;
+        # the float path (e.g. temporal values with float bounds, or
+        # uint64 keys) round-trips via int64 — exact below 2^53, the
+        # float path's documented precision domain
+        orig = l_types[value_col]
         out = {}
         for name, val in zip(mm_out, (vmin, vmax)):
             arr = pa.array([val][:nrows], num_pa)
-            if int_mode:
-                arr = arr.cast(l_types[value_col])
+            if not arr.type.equals(orig):
+                if pa.types.is_temporal(orig) and not int_mode:
+                    arr = arr.cast(pa.int64()).cast(orig)
+                else:
+                    arr = arr.cast(orig)
             out[name] = arr
         return out
 

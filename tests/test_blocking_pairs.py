@@ -662,6 +662,58 @@ def test_range_join_count_sum_cols_validation(ray_session):
                          count_by="g", sum_cols=["x", "x"])
 
 
+def test_range_join_count_weight_semantics(ray_session):
+    """NaN weights contribute 0 (documented COALESCE-like semantics); ±inf
+    weights raise instead of smearing through the tile's prefix sums into
+    unrelated intervals."""
+    import math
+
+    import pytest
+    import ray
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    L = pa.table({"x": pa.array([1.0, 2.0, 3.0]),
+                  "w": pa.array([float("nan"), 4.0, 8.0])})
+    R = pa.table({"lo": pa.array([0.0, 2.5]), "hi": pa.array([10.0, 10.0]),
+                  "g": pa.array(["a", "b"])})
+    out = range_join_count(rd.from_arrow(L), rd.from_arrow(R), "x", "lo",
+                           "hi", count_by="g", sum_cols="w").to_pandas()
+    got = dict(zip(out["g"], out["sum_w"]))
+    assert got == {"a": 12.0, "b": 8.0}
+    assert not any(math.isnan(v) for v in got.values())
+
+    Linf = pa.table({"x": pa.array([1.0, 2.0]),
+                     "w": pa.array([float("inf"), 1.0])})
+    with pytest.raises(ray.exceptions.RayTaskError, match="inf"):
+        range_join_count(rd.from_arrow(Linf), rd.from_arrow(R), "x", "lo",
+                         "hi", count_by="g", sum_cols="w").materialize()
+
+
+def test_range_join_count_min_max_float_path_types(ray_session):
+    """min_max on the float64 path (timestamp values with float bounds)
+    must still restore the value column's original type."""
+    import datetime as dt
+
+    import ray.data as rd
+    from ny_campaign_finance_dedupe_ray.stages.joins import range_join_count
+
+    base = dt.datetime(2022, 3, 1)
+    ts = [base + dt.timedelta(hours=h) for h in (1, 5, 9)]
+    L = pa.table({"t": pa.array(ts, pa.timestamp("us"))})
+    epoch = [t.timestamp() * 1e6 for t in ts]
+    R = pa.table({"lo": pa.array([epoch[0] - 1.0]),
+                  "hi": pa.array([epoch[1] + 1.0]),
+                  "g": pa.array(["a"])})  # float bounds -> float path
+    t = pa.concat_tables(
+        range_join_count(rd.from_arrow(L), rd.from_arrow(R), "t", "lo",
+                         "hi", count_by="g", min_max=True, n_tiles=2)
+        .iter_batches(batch_format="pyarrow"))
+    assert t.schema.field("min_t").type == pa.timestamp("us")
+    row = t.to_pylist()[0]
+    assert row["n"] == 2 and row["min_t"] == ts[0] and row["max_t"] == ts[1]
+
+
 def test_range_join_count_key_encoding_fuzz(ray_session):
     """Injectivity of the composite-key encoding, end-to-end: 400 rows of
     3-column keys drawn from an alphabet built to stress the length-prefix
